@@ -1,0 +1,6 @@
+from tracking_tpu.analysis.metrics import (  # noqa: F401
+    mask_similarity,
+    confusion_counts,
+    precision_recall_fscore,
+    roc_curve,
+)

@@ -1,0 +1,108 @@
+"""Smoothing filters: Gaussian, median, box.
+
+These replace the reference's OpenCV calls in the pre-processing and
+post-processing paths (``PreProcessor.cpp:70-71`` GaussianBlur 7×7 σ=1.5;
+``AdaptiveSelectiveBackgroundLearning.cpp:63`` medianBlur 3;
+SuBSENSE post-proc medianBlur 9, ``pl/BackgroundSubtractorSuBSENSE.cpp:624-639``).
+
+Implementation notes (TPU):
+- Small-window filters are expressed as statically-unrolled shifted-slice
+  reductions over padded arrays: XLA fuses the k (or k²) slice+combine chain
+  into a handful of VPU passes, and the pattern vmaps over stream batches and
+  scans over time without reshapes.  No gathers, no dynamic shapes.
+- Gaussian is separable (two 1-D passes).
+- Median uses a full sort over the k² stacked window (XLA lowers small fixed
+  sorts to sorting networks); fine up to k=9 (81 lanes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
+    """OpenCV ``getGaussianKernel`` for sigma > 0: exp(-i²/2σ²), normalized."""
+    if sigma <= 0:
+        # OpenCV's default sigma from ksize.
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    half = (ksize - 1) * 0.5
+    xs = np.arange(ksize, dtype=np.float64) - half
+    k = np.exp(-(xs * xs) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _conv1d_axis(img: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
+    """1-D correlation along `axis` with BORDER_REFLECT_101 padding."""
+    k = len(kernel)
+    r = k // 2
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (r, r)
+    x = jnp.pad(img, pad, mode="reflect")
+    out = None
+    n = img.shape[axis]
+    for i in range(k):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(i, i + n)
+        term = x[tuple(sl)] * float(kernel[i])
+        out = term if out is None else out + term
+    return out
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 1.5) -> jnp.ndarray:
+    """Separable Gaussian blur over the last two spatial dims [..., H, W(, C)].
+
+    Input u8 → computed in f32 → rounded back to u8 (OpenCV computes 8U
+    Gaussians in fixed point; agreement is within ±1 LSB, gated by mask-IoU
+    tests rather than bit tests). Float input stays float.
+    """
+    kern = gaussian_kernel1d(ksize, sigma)
+    is_u8 = img.dtype == jnp.uint8
+    x = img.astype(jnp.float32) if is_u8 else img
+    # Spatial axes: support [..., H, W] and [..., H, W, C].
+    ch_last = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    h_ax, w_ax = (-3, -2) if ch_last else (-2, -1)
+    x = _conv1d_axis(x, kern, h_ax % img.ndim)
+    x = _conv1d_axis(x, kern, w_ax % img.ndim)
+    if is_u8:
+        return jnp.clip(jnp.rint(x), 0, 255).astype(jnp.uint8)
+    return x
+
+
+def _window_stack(img: jnp.ndarray, ksize: int, pad_mode: str) -> jnp.ndarray:
+    """Stack the k×k neighborhood of each pixel along a new leading axis."""
+    r = ksize // 2
+    pad = [(0, 0)] * img.ndim
+    h_ax, w_ax = img.ndim - 2, img.ndim - 1
+    pad[h_ax] = (r, r)
+    pad[w_ax] = (r, r)
+    x = jnp.pad(img, pad, mode=pad_mode)
+    H, W = img.shape[h_ax], img.shape[w_ax]
+    slabs = []
+    for dy in range(ksize):
+        for dx in range(ksize):
+            sl = [slice(None)] * img.ndim
+            sl[h_ax] = slice(dy, dy + H)
+            sl[w_ax] = slice(dx, dx + W)
+            slabs.append(x[tuple(sl)])
+    return jnp.stack(slabs, axis=0)
+
+
+def median_blur(img: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
+    """Median filter over [..., H, W] with BORDER_REPLICATE (cv::medianBlur)."""
+    win = _window_stack(img, ksize, "edge")
+    med = jnp.sort(win, axis=0)[(ksize * ksize) // 2]
+    return med.astype(img.dtype)
+
+
+def box_filter(img: jnp.ndarray, ksize: int, normalize: bool = True) -> jnp.ndarray:
+    """Box filter (mean/sum over k×k window), BORDER_REFLECT_101, f32 output."""
+    ones = np.ones(ksize, dtype=np.float32)
+    if normalize:
+        ones /= ksize
+    x = img.astype(jnp.float32)
+    x = _conv1d_axis(x, ones, img.ndim - 2)
+    x = _conv1d_axis(x, ones, img.ndim - 1)
+    return x

