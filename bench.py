@@ -28,7 +28,7 @@ def main():
 
     algo = _flagship()
     h, w, c = 720, 1280, 3
-    t_chunk = 128
+    t_chunk = 32
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 256, (t_chunk, h, w, c), dtype=np.uint8))

@@ -1,0 +1,103 @@
+"""Tracking layer: Kalman bank, association, candidate lifecycle, trajectories."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracking_tpu.track.kalman import default_params, kalman_init, kalman_predict, kalman_reset_slot, kalman_update
+from tracking_tpu.track.tracker import BlobTracker
+from tracking_tpu.track.trajectory import TrackRecorder, TrajectoryAnalysis
+
+
+def _square_mask(h, w, cx, cy, r=5):
+    m = np.zeros((h, w), np.uint8)
+    m[max(0, cy - r) : cy + r, max(0, cx - r) : cx + r] = 255
+    return m
+
+
+def test_kalman_tracks_constant_velocity():
+    params = default_params()
+    x, P = kalman_init(4, params)
+    x, P = kalman_reset_slot(
+        x, P, jnp.array([True, False, False, False]),
+        jnp.tile(jnp.array([[10.0, 20.0, 8.0, 8.0]]), (4, 1)), params,
+    )
+    for t in range(1, 20):
+        x, P = kalman_predict(x, P, params)
+        z = jnp.tile(jnp.array([[10.0 + 2 * t, 20.0 + 1 * t, 8.0, 8.0]]), (4, 1))
+        x, P = kalman_update(x, P, z, jnp.array([True, False, False, False]), params)
+    # filter should have learned the velocity
+    assert abs(float(x[0, 4]) - 2.0) < 0.3
+    assert abs(float(x[0, 5]) - 1.0) < 0.3
+    # untouched slots remain zero
+    assert float(jnp.abs(x[1]).sum()) == 0.0
+
+
+def test_tracker_confirms_and_follows_single_object():
+    tracker = BlobTracker(newBlobDetectFrames=3, minBlobArea=10)
+    state = tracker.init()
+    h, w = 64, 96
+    positions = [(10 + 2 * t, 30) for t in range(20)]
+    seen_ids = []
+    for t, (cx, cy) in enumerate(positions):
+        state, tracks = tracker.step(state, jnp.asarray(_square_mask(h, w, cx, cy)))
+        act = np.asarray(tracks.active)
+        if act.any():
+            k = np.nonzero(act)[0][0]
+            seen_ids.append(int(np.asarray(tracks.ids)[k]))
+            # track follows the object
+            assert abs(float(np.asarray(tracks.x)[k]) - cx) < 6
+    # confirmed after ~newBlobDetectFrames, single stable id
+    assert len(seen_ids) >= 10
+    assert len(set(seen_ids)) == 1
+
+
+def test_tracker_two_objects_and_death():
+    tracker = BlobTracker(newBlobDetectFrames=3, maxLostFrames=3, minBlobArea=10)
+    state = tracker.init()
+    h, w = 64, 128
+    n_active_hist = []
+    for t in range(30):
+        m = _square_mask(h, w, 15 + t, 20)
+        if t < 15:  # second object disappears at t=15
+            m |= _square_mask(h, w, 100 - t, 45)
+        state, tracks = tracker.step(state, jnp.asarray(m))
+        n_active_hist.append(int(np.asarray(tracks.active).sum()))
+    assert max(n_active_hist) == 2
+    assert n_active_hist[-1] == 1  # dead track removed after maxLostFrames
+
+
+def test_tracker_is_scan_safe():
+    tracker = BlobTracker(newBlobDetectFrames=2, minBlobArea=10)
+    state = tracker.init()
+    h, w = 48, 64
+    masks = np.stack([_square_mask(h, w, 10 + t, 24) for t in range(12)])
+
+    @jax.jit
+    def run(state, masks):
+        return jax.lax.scan(tracker.step, state, masks)
+
+    state2, tracks = run(state, jnp.asarray(masks))
+    assert bool(np.asarray(tracks.active)[-1].any())
+
+
+def test_recorder_and_analysis(tmp_path):
+    rec = TrackRecorder()
+    for t in range(20):
+        rec.rows.append((t, 0, 10.0 + t, 30.0, 8.0, 8.0))
+        rec.rows.append((t, 1, 50.0, 10.0 + t, 8.0, 8.0))
+    p = tmp_path / "tracks.csv"
+    rec.save_csv(str(p))
+    rec2 = TrackRecorder.load_csv(str(p))
+    assert rec2.rows == rec.rows
+    rec.save_yml(str(tmp_path / "tracks.yml"))
+
+    ana = TrajectoryAnalysis(96, 64)
+    ana.update(rec)
+    scores = ana.abnormality(rec)
+    assert set(scores) == {0, 1}
+    # an out-of-distribution track scores higher than in-distribution ones
+    odd = TrackRecorder()
+    for t in range(20):
+        odd.rows.append((t, 9, 90.0 - 4 * t, 60.0 - 2 * t, 8.0, 8.0))
+    assert ana.abnormality(odd)[9] > min(scores.values())

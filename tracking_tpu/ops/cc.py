@@ -1,0 +1,138 @@
+"""Connected-component labeling + blob statistics, XLA-native.
+
+Replaces OpenCV's pointer-chasing flood-fill / contour CC extraction used by
+``CvBlobDetectorCC`` (reference: OpenCV legacy, driven from
+``ustc_src/trackingMain.cpp:626``) and the jmo blob library
+(``package_bgs/jmo/BlobExtraction.cpp``).
+
+Algorithm: iterative min-label propagation with pointer-jumping. Every
+foreground pixel starts labeled with its own linear index; each sweep takes
+the neighborhood minimum and then *compresses* (label ← label[label], a
+gather), which squares the propagation distance per iteration → convergence
+in O(log diameter) sweeps instead of O(diameter). A ``lax.while_loop`` with a
+global change flag exits at the fixed point. Shapes are static; masks are the
+only data dependence.
+
+Blob statistics are scatter-reductions keyed by root label (area, centroid
+sums, bbox min/max) followed by a top-K compaction to a fixed-capacity blob
+table — the XLA-friendly replacement for dynamic blob lists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SE8 = np.ones((3, 3), dtype=bool)
+_SE4 = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=bool)
+
+
+def _neighbor_min(lab: jnp.ndarray, fg: jnp.ndarray, se: np.ndarray, big: int):
+    """Min label over the structuring-element neighborhood (fg pixels only)."""
+    H, W = lab.shape[-2], lab.shape[-1]
+    padded = jnp.pad(lab, [(1, 1), (1, 1)], constant_values=big)
+    out = lab
+    for dy in range(3):
+        for dx in range(3):
+            if not se[dy, dx] or (dy == 1 and dx == 1):
+                continue
+            out = jnp.minimum(out, padded[dy : dy + H, dx : dx + W])
+    return jnp.where(fg, out, big)
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def label_components(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
+    """Label connected components of a binary mask [H, W].
+
+    Returns int32 labels: background = -1; each component labeled by the
+    linear index of its minimum pixel (row-major) — deterministic and
+    order-compatible with OpenCV's top-left-first numbering after compaction.
+    """
+    H, W = mask.shape
+    big = H * W
+    fg = mask > 0
+    iota = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    lab = jnp.where(fg, iota, big)
+    se = _SE8 if connectivity == 8 else _SE4
+
+    def compress(lab):
+        flat = lab.reshape(-1)
+        flat_ext = jnp.concatenate([flat, jnp.array([big], jnp.int32)])
+        return flat_ext[jnp.clip(lab, 0, big)].reshape(H, W)
+
+    def body(carry):
+        lab, _ = carry
+        new = _neighbor_min(lab, fg, se, big)
+        new = jnp.where(fg, jnp.minimum(new, compress(new)), big)
+        new = jnp.where(fg, jnp.minimum(new, compress(new)), big)
+        return new, jnp.any(new != lab)
+
+    def cond(carry):
+        return carry[1]
+
+    lab, _ = jax.lax.while_loop(cond, body, (lab, jnp.array(True)))
+    return jnp.where(fg, lab, -1)
+
+
+class Blobs(NamedTuple):
+    """Fixed-capacity blob table (invalid slots have area == 0)."""
+
+    area: jnp.ndarray  # [K] int32
+    cx: jnp.ndarray  # [K] f32 centroid x
+    cy: jnp.ndarray  # [K] f32 centroid y
+    x0: jnp.ndarray  # [K] int32 bbox
+    y0: jnp.ndarray  # [K] int32
+    x1: jnp.ndarray  # [K] int32 (inclusive)
+    y1: jnp.ndarray  # [K] int32 (inclusive)
+    label: jnp.ndarray  # [K] int32 root label (pixel index), -1 if invalid
+
+    @property
+    def w(self):
+        return jnp.maximum(self.x1 - self.x0 + 1, 0)
+
+    @property
+    def h(self):
+        return jnp.maximum(self.y1 - self.y0 + 1, 0)
+
+
+@partial(jax.jit, static_argnames=("max_blobs", "connectivity"))
+def extract_blobs(
+    mask: jnp.ndarray, max_blobs: int = 64, connectivity: int = 8
+) -> Blobs:
+    """Binary mask [H, W] → top-`max_blobs` components by area."""
+    H, W = mask.shape
+    n = H * W
+    lab = label_components(mask, connectivity)
+    flat = lab.reshape(-1)
+    valid = flat >= 0
+    idx = jnp.where(valid, flat, n)  # background scatters into the overflow bin
+
+    ys = (jnp.arange(n, dtype=jnp.int32) // W).astype(jnp.float32)
+    xs = (jnp.arange(n, dtype=jnp.int32) % W).astype(jnp.float32)
+
+    area = jnp.zeros(n + 1, jnp.int32).at[idx].add(1)
+    sx = jnp.zeros(n + 1, jnp.float32).at[idx].add(xs)
+    sy = jnp.zeros(n + 1, jnp.float32).at[idx].add(ys)
+    bx0 = jnp.full(n + 1, W, jnp.int32).at[idx].min(xs.astype(jnp.int32))
+    by0 = jnp.full(n + 1, H, jnp.int32).at[idx].min(ys.astype(jnp.int32))
+    bx1 = jnp.full(n + 1, -1, jnp.int32).at[idx].max(xs.astype(jnp.int32))
+    by1 = jnp.full(n + 1, -1, jnp.int32).at[idx].max(ys.astype(jnp.int32))
+
+    area = area.at[n].set(0)  # drop the background bin
+    top_area, top_idx = jax.lax.top_k(area, max_blobs)
+    ok = top_area > 0
+    inv_a = 1.0 / jnp.maximum(top_area.astype(jnp.float32), 1.0)
+    return Blobs(
+        area=jnp.where(ok, top_area, 0),
+        cx=jnp.where(ok, sx[top_idx] * inv_a, 0.0),
+        cy=jnp.where(ok, sy[top_idx] * inv_a, 0.0),
+        x0=jnp.where(ok, bx0[top_idx], 0),
+        y0=jnp.where(ok, by0[top_idx], 0),
+        x1=jnp.where(ok, bx1[top_idx], -1),
+        y1=jnp.where(ok, by1[top_idx], -1),
+        label=jnp.where(ok, top_idx, -1),
+    )

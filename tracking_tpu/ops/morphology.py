@@ -73,24 +73,29 @@ def morph_close(img: jnp.ndarray, ksize=3, se: np.ndarray | None = None) -> jnp.
     return erode(dilate(img, ksize, se), ksize, se)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def fill_holes(mask_u8: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
-    """Fill background regions not connected to the border (floodfill parity).
+@partial(jax.jit, static_argnames=("seed",))
+def fill_holes(mask_u8: jnp.ndarray, seed: str = "border") -> jnp.ndarray:
+    """Fill background regions unreachable from the seed (floodfill parity).
 
     mask_u8: binary u8 mask [..., H, W] (255 = foreground). Background pixels
-    (0) that cannot be reached from the image border through other background
-    pixels (4-connectivity, as ``cv::floodFill`` default) become foreground.
+    (0) not reachable from the seed through other background pixels
+    (4-connectivity, as ``cv::floodFill`` default) become foreground.
+
+    seed="border": all border background pixels (generic hole filling).
+    seed="corner": only pixel (0, 0) — exact parity with SuBSENSE's
+    ``cv::floodFill(mask, Point(0,0), 255)`` (``BackgroundSubtractorSuBSENSE
+    .cpp:630``), where bg regions touching only other borders count as holes.
     """
     fg = mask_u8 > 0
-    H, W = mask_u8.shape[-2], mask_u8.shape[-1]
-    # Seed: border background pixels.
-    border = jnp.zeros(mask_u8.shape, dtype=bool)
-    border = border.at[..., 0, :].set(True)
-    border = border.at[..., -1, :].set(True)
-    border = border.at[..., :, 0].set(True)
-    border = border.at[..., :, -1].set(True)
-    reach0 = border & ~fg
-    n_iter = max_iters if max_iters > 0 else H + W
+    seeds = jnp.zeros(mask_u8.shape, dtype=bool)
+    if seed == "corner":
+        seeds = seeds.at[..., 0, 0].set(True)
+    else:
+        seeds = seeds.at[..., 0, :].set(True)
+        seeds = seeds.at[..., -1, :].set(True)
+        seeds = seeds.at[..., :, 0].set(True)
+        seeds = seeds.at[..., :, -1].set(True)
+    reach0 = seeds & ~fg
 
     cross = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=bool)
 
@@ -103,11 +108,8 @@ def fill_holes(mask_u8: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
         _, changed = state
         return changed
 
-    # Bounded while loop: each sweep propagates ≥1 pixel along any path, so
-    # H+W sweeps over-cover; convergence check exits early.
-    reach, _ = jax.lax.while_loop(
-        cond, lambda s: body(s), (reach0, jnp.array(True))
-    )
-    del n_iter  # bound kept implicit: propagation is monotone and converges
+    # Propagation is monotone ⇒ the while_loop converges; the change flag
+    # exits at the fixed point.
+    reach, _ = jax.lax.while_loop(cond, body, (reach0, jnp.array(True)))
     filled = fg | ~reach
     return jnp.where(filled, jnp.uint8(255), jnp.uint8(0))

@@ -1,0 +1,203 @@
+"""Command-line entry points mirroring the reference executables.
+
+- ``bgs-run`` ≈ ``bgs -uf -fn=<video>`` (``Main.cpp:29-85`` →
+  ``VideoAnalysis::setup/start``, ``VideoAnalysis.cpp:31-134``): run enabled
+  BGS algorithms over a video/camera, optionally score masks against a
+  reference image at a stop frame (``-co --stopAt --imgref`` semantics).
+- ``tracking-run`` ≈ ``tracking btavi=... fgavi=... <video>``
+  (``ustc_src/trackingMain.cpp:382-773``): full pipeline — BGS (default
+  SuBSENSE, type 36, matching ``trackingMain.cpp:33-35``) → blob detection →
+  tracking → trajectory gen (track=<file>) → analysis; writes annotated
+  fg/track videos and prints per-frame blob positions.
+
+Host-side loop: decode chunk → device scan → fetch masks → tracker runs
+device-side per frame; drawing/IO stays on host (cv2), exactly the split the
+TPU design wants.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _writer(path, fps, size):
+    import cv2
+
+    return cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, size)
+
+
+def bgs_run(argv=None):
+    import cv2
+    import jax.numpy as jnp
+
+    from tracking_tpu.analysis.metrics import mask_similarity
+    from tracking_tpu.core.registry import get_algorithm
+    from tracking_tpu.io.video import VideoSource
+    from tracking_tpu.runner.scan import run_video
+
+    p = argparse.ArgumentParser(description="TPU BGS runner (bgs -uf/-uc parity)")
+    p.add_argument("--use_file", "-uf", action="store_true")
+    p.add_argument("--filename", "-fn", default=None)
+    p.add_argument("--use_cam", "-uc", action="store_true")
+    p.add_argument("--camera", "-ca", type=int, default=0)
+    p.add_argument("--algorithm", "-a", default="FrameDifferenceBGS")
+    p.add_argument("--compare", "-co", action="store_true")
+    p.add_argument("--stopAt", "-st", type=int, default=0)
+    p.add_argument("--imgref", "-im", default=None)
+    p.add_argument("--output", "-o", default=None, help="write fg mask video")
+    p.add_argument("--chunk", type=int, default=64)
+    p.add_argument("--max_frames", type=int, default=0)
+    args = p.parse_args(argv)
+
+    src = VideoSource(
+        input_file=args.filename if (args.use_file or args.filename) else None,
+        camera_index=args.camera if args.use_cam else None,
+    )
+    algo = get_algorithm(args.algorithm)()
+    state = None
+    out = None
+    n = 0
+    t0 = time.perf_counter()
+    for chunk in src.chunks(args.chunk, max_frames=args.max_frames):
+        state, masks = run_video(algo, jnp.asarray(chunk), state=state)
+        masks = np.asarray(masks)
+        for i, m in enumerate(masks):
+            if args.output:
+                if out is None:
+                    out = _writer(args.output, 30.0, (m.shape[1], m.shape[0]))
+                out.write(cv2.cvtColor(m, cv2.COLOR_GRAY2BGR))
+            if args.compare and args.imgref and n + i == args.stopAt:
+                ref = cv2.imread(args.imgref, 0)
+                score = float(mask_similarity(jnp.asarray(m), jnp.asarray(ref)))
+                print(f"frame {n + i}: similarity = {score:.4f}")
+        n += len(masks)
+    dt = time.perf_counter() - t0
+    if out is not None:
+        out.release()
+    print(f"{args.algorithm}: {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps)")
+    return 0
+
+
+def tracking_run(argv=None):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from tracking_tpu.core.registry import get_algorithm
+    from tracking_tpu.io.video import VideoSource
+    from tracking_tpu.runner.scan import make_step_fn
+    from tracking_tpu.track.tracker import BlobTracker
+    from tracking_tpu.track.trajectory import TrackRecorder, TrajectoryAnalysis
+
+    p = argparse.ArgumentParser(description="blob tracking pipeline (tracking parity)")
+    p.add_argument("video")
+    p.add_argument("--fgavi", default=None, help="fg mask video out")
+    p.add_argument("--btavi", default=None, help="annotated tracking video out")
+    p.add_argument("--track", default=None, help="track file out (.csv or .yml)")
+    p.add_argument("--bgs_type", type=int, default=36, help="ustc type id (default SuBSENSE)")
+    p.add_argument("--chunk", type=int, default=32)
+    p.add_argument("--max_frames", type=int, default=0)
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    algo = get_algorithm(args.bgs_type)()
+    tracker = BlobTracker()
+    src = VideoSource(input_file=args.video)
+
+    body = make_step_fn(algo)
+
+    @jax.jit
+    def run_chunk(bgs_state, trk_state, frames):
+        def step(carry, frame):
+            bgs_state, trk_state = carry
+            bgs_state, fg = body(bgs_state, frame)
+            trk_state, tracks = tracker.step(trk_state, fg)
+            return (bgs_state, trk_state), (fg, tracks)
+
+        (bgs_state, trk_state), (fgs, tracks) = jax.lax.scan(
+            step, (bgs_state, trk_state), frames
+        )
+        return bgs_state, trk_state, fgs, tracks
+
+    bgs_state = None
+    trk_state = tracker.init()
+    recorder = TrackRecorder()
+    fg_out = bt_out = None
+    n = 0
+    t0 = time.perf_counter()
+    frame_hw = None
+    for chunk in src.chunks(args.chunk, max_frames=args.max_frames):
+        if bgs_state is None:
+            h, w = chunk.shape[1:3]
+            frame_hw = (h, w)
+            bgs_state = algo.init(h, w, chunk.shape[3] if chunk.ndim == 4 else 1)
+        bgs_state, trk_state, fgs, tracks = run_chunk(
+            bgs_state, trk_state, jnp.asarray(chunk)
+        )
+        fgs = np.asarray(fgs)
+        tr_np = jax.tree_util.tree_map(np.asarray, tracks)
+        for i in range(len(fgs)):
+            frame_tracks = jax.tree_util.tree_map(lambda a: a[i], tr_np)
+            recorder.record(n + i, frame_tracks)
+            if args.fgavi:
+                if fg_out is None:
+                    fg_out = _writer(args.fgavi, 30.0, (fgs.shape[2], fgs.shape[1]))
+                fg_out.write(cv2.cvtColor(fgs[i], cv2.COLOR_GRAY2BGR))
+            if args.btavi:
+                img = chunk[i].copy()
+                act = frame_tracks.active
+                for k in np.nonzero(act)[0]:
+                    x, y = frame_tracks.x[k], frame_tracks.y[k]
+                    w2, h2 = frame_tracks.w[k] / 2, frame_tracks.h[k] / 2
+                    cv2.rectangle(
+                        img,
+                        (int(x - w2), int(y - h2)),
+                        (int(x + w2), int(y + h2)),
+                        (0, 255, 0),
+                        1,
+                    )
+                    cv2.putText(
+                        img,
+                        str(int(frame_tracks.ids[k])),
+                        (int(x), int(y)),
+                        cv2.FONT_HERSHEY_PLAIN,
+                        1.0,
+                        (0, 0, 255),
+                    )
+                if bt_out is None:
+                    bt_out = _writer(args.btavi, 30.0, (img.shape[1], img.shape[0]))
+                bt_out.write(img)
+            if not args.quiet:
+                act = frame_tracks.active
+                blobs = [
+                    f"id={int(frame_tracks.ids[k])} ({frame_tracks.x[k]:.0f},{frame_tracks.y[k]:.0f})"
+                    for k in np.nonzero(act)[0]
+                ]
+                if blobs:
+                    print(f"frame {n + i}: " + " ".join(blobs))
+        n += len(fgs)
+    dt = time.perf_counter() - t0
+    for o in (fg_out, bt_out):
+        if o is not None:
+            o.release()
+    if args.track:
+        if args.track.endswith(".yml") or args.track.endswith(".yaml"):
+            recorder.save_yml(args.track)
+        else:
+            recorder.save_csv(args.track)
+    if frame_hw and recorder.rows:
+        ana = TrajectoryAnalysis(frame_hw[1], frame_hw[0])
+        ana.update(recorder)
+        scores = ana.abnormality(recorder)
+        for tid, s in sorted(scores.items()):
+            print(f"track {tid}: abnormality={s:.2f}")
+    print(f"tracking: {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(tracking_run())

@@ -1,0 +1,258 @@
+"""Multi-object blob tracker with fixed-capacity track tables.
+
+Capability-parity replacement for OpenCV legacy's ``CvBlobTrackerAuto1``
+pipeline assembled in ``ustc_src/trackingMain.cpp:609-683``:
+
+- blob detection = connected components of the FG mask (``cvCreateBlobDetectorCC``,
+  :626) with the CC detector's temporal-consistency rule: a candidate must be
+  re-detected in consecutive frames (uniform motion) before becoming a track;
+- blob tracking = per-track Kalman predict + nearest-blob association
+  (``cvCreateBlobTrackerCCMSPF``'s CC association, :633 — the mean-shift
+  particle-filter collision resolver is replaced by overlap-aware greedy
+  assignment, an XLA-friendly equivalent);
+- post-processing = Kalman smoothing (``PostProcKalman``, :653-662);
+- deletion after a miss streak (legacy FrameCount/LostFrames logic).
+
+TPU-native design: tracks live in a fixed-capacity table (pad-to-MAX, active
+masks) so every step is static-shaped; association is a greedy argmin over the
+[K, B] cost matrix run K times inside a ``fori_loop`` (K, B ≤ 64 — tiny).
+The whole step is jit/vmap/scan-safe, so tracking runs on-device fused with
+the BGS scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tracking_tpu.core.config import BGSConfig
+from tracking_tpu.ops.cc import Blobs, extract_blobs
+from tracking_tpu.track import kalman
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig(BGSConfig):
+    maxTracks: int = 32
+    maxBlobs: int = 64
+    minBlobArea: int = 25  # drop specks (legacy CC detector's min size gate)
+    newBlobDetectFrames: int = 5  # consecutive detections to confirm a track
+    maxLostFrames: int = 10  # misses before a track dies
+    gateDistance: float = 2.0  # association gate, in units of blob size
+    candidateGate: float = 1.5  # candidate re-detection gate
+
+
+class TrackTable(NamedTuple):
+    """Fixed-capacity track state (invalid slots: active=False)."""
+
+    active: jnp.ndarray  # [K] bool
+    ids: jnp.ndarray  # [K] int32 (stable track ids, -1 when inactive)
+    kx: jnp.ndarray  # [K, 8] kalman state (x, y, w, h, v...)
+    kP: jnp.ndarray  # [K, 8, 8] kalman covariance
+    age: jnp.ndarray  # [K] int32 frames since birth
+    lost: jnp.ndarray  # [K] int32 consecutive misses
+    # candidate (pre-confirmation) blobs
+    cand_pos: jnp.ndarray  # [K, 4] x, y, w, h
+    cand_age: jnp.ndarray  # [K] int32 consecutive detections (0 = empty)
+    next_id: jnp.ndarray  # [] int32
+
+
+class Tracks(NamedTuple):
+    """Per-frame tracker output (padded to maxTracks)."""
+
+    active: jnp.ndarray  # [K] bool
+    ids: jnp.ndarray  # [K] int32
+    x: jnp.ndarray  # [K] f32 center x
+    y: jnp.ndarray  # [K] f32 center y
+    w: jnp.ndarray  # [K] f32
+    h: jnp.ndarray  # [K] f32
+
+
+def _blob_xywh(blobs: Blobs) -> jnp.ndarray:
+    """Blobs → [B, 4] (cx, cy, w, h) f32."""
+    return jnp.stack(
+        [
+            blobs.cx,
+            blobs.cy,
+            blobs.w.astype(jnp.float32),
+            blobs.h.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+class BlobTracker:
+    """Functional tracker: ``state = init()``, ``state, tracks = step(state, mask)``."""
+
+    def __init__(self, config: TrackerConfig | None = None, **kw):
+        cfg = config or TrackerConfig()
+        if kw:
+            cfg = cfg.replace(**kw)
+        self.config = cfg
+        self.kparams = kalman.default_params()
+
+    def init(self) -> TrackTable:
+        K = self.config.maxTracks
+        kx, kP = kalman.kalman_init(K, self.kparams)
+        return TrackTable(
+            active=jnp.zeros(K, bool),
+            ids=jnp.full(K, -1, jnp.int32),
+            kx=kx,
+            kP=kP,
+            age=jnp.zeros(K, jnp.int32),
+            lost=jnp.zeros(K, jnp.int32),
+            cand_pos=jnp.zeros((K, 4), jnp.float32),
+            cand_age=jnp.zeros(K, jnp.int32),
+            next_id=jnp.zeros((), jnp.int32),
+        )
+
+    # -- association ------------------------------------------------------
+    def _associate(self, pred_pos, active, blob_pos, blob_ok):
+        """Greedy min-cost assignment track↔blob.
+
+        Cost = center distance normalized by mean blob/track size; gated.
+        Returns (track_assign [K] int32 blob idx or -1, blob_taken [B] bool).
+        """
+        cfg = self.config
+        K, B = pred_pos.shape[0], blob_pos.shape[0]
+        d = jnp.linalg.norm(pred_pos[:, None, :2] - blob_pos[None, :, :2], axis=-1)
+        scale = 0.5 * (
+            jnp.maximum(pred_pos[:, None, 2:4].mean(-1), 1.0)
+            + jnp.maximum(blob_pos[None, :, 2:4].mean(-1), 1.0)
+        )
+        cost = d / scale
+        BIG = jnp.float32(1e9)
+        cost = jnp.where(active[:, None] & blob_ok[None, :], cost, BIG)
+        cost = jnp.where(cost <= cfg.gateDistance, cost, BIG)
+
+        def body(i, carry):
+            cost, assign, taken = carry
+            flat = jnp.argmin(cost)
+            k, b = flat // B, flat % B
+            ok = cost[k, b] < BIG
+            assign = assign.at[k].set(jnp.where(ok, b, assign[k]))
+            taken = taken.at[b].set(jnp.where(ok, True, taken[b]))
+            cost = jnp.where(ok, cost.at[k, :].set(BIG).at[:, b].set(BIG), cost)
+            return cost, assign, taken
+
+        assign0 = jnp.full(K, -1, jnp.int32)
+        taken0 = jnp.zeros(B, bool)
+        _, assign, taken = jax.lax.fori_loop(
+            0, min(K, B), body, (cost, assign0, taken0)
+        )
+        return assign, taken
+
+    # -- one tracking step -------------------------------------------------
+    def step(self, state: TrackTable, fg_mask: jnp.ndarray) -> Tuple[TrackTable, Tracks]:
+        cfg = self.config
+        K = cfg.maxTracks
+        blobs = extract_blobs(fg_mask, max_blobs=cfg.maxBlobs)
+        blob_ok = blobs.area >= cfg.minBlobArea
+        blob_pos = _blob_xywh(blobs)
+
+        # 1) Kalman predict
+        kx, kP = kalman.kalman_predict(state.kx, state.kP, self.kparams)
+        pred_pos = kx[:, :4]
+
+        # 2) associate active tracks ↔ blobs
+        assign, taken = self._associate(pred_pos, state.active, blob_pos, blob_ok)
+        matched = assign >= 0
+        z = blob_pos[jnp.clip(assign, 0, cfg.maxBlobs - 1)]
+        kx, kP = kalman.kalman_update(kx, kP, z, matched, self.kparams)
+
+        lost = jnp.where(matched, 0, state.lost + state.active.astype(jnp.int32))
+        active = state.active & (lost <= cfg.maxLostFrames)
+        age = state.age + state.active.astype(jnp.int32)
+
+        # 3) candidate logic (CC-detector temporal consistency):
+        #    unmatched valid blobs either extend an existing candidate
+        #    (within candidateGate of its last position) or open a new one.
+        free_blob = blob_ok & ~taken
+        cand_live = state.cand_age > 0
+        dcand = jnp.linalg.norm(
+            state.cand_pos[:, None, :2] - blob_pos[None, :, :2], axis=-1
+        )
+        cscale = jnp.maximum(state.cand_pos[:, None, 2:4].mean(-1), 4.0)
+        cmatch = (dcand / cscale <= cfg.candidateGate) & cand_live[:, None] & free_blob[None, :]
+        # first matching free blob per candidate
+        has_cmatch = jnp.any(cmatch, axis=1)
+        cblob = jnp.argmax(cmatch, axis=1)
+        cand_pos = jnp.where(
+            has_cmatch[:, None], blob_pos[cblob], state.cand_pos
+        )
+        cand_age = jnp.where(has_cmatch, state.cand_age + 1, 0)
+        # blobs consumed by candidates
+        consumed = jnp.zeros_like(free_blob).at[cblob].max(has_cmatch)
+        free_blob = free_blob & ~consumed
+
+        # 4) new candidates from remaining blobs → empty candidate slots
+        empty_cand = cand_age == 0
+        cand_slot_rank = jnp.cumsum(empty_cand.astype(jnp.int32)) - 1
+        blob_rank = jnp.cumsum(free_blob.astype(jnp.int32)) - 1
+        # blob b goes to the (blob_rank[b])-th empty slot
+        n_empty = jnp.sum(empty_cand)
+        place = free_blob & (blob_rank < n_empty)
+        # scatter: for each candidate slot, find the blob whose rank matches
+        slot_ranks = jnp.where(empty_cand, cand_slot_rank, -1)
+        # build mapping slot → blob index
+        blob_for_rank = jnp.full((K,), -1, jnp.int32)
+        blob_idx = jnp.arange(cfg.maxBlobs)
+        blob_for_rank = blob_for_rank.at[
+            jnp.clip(jnp.where(place, blob_rank, K - 1), 0, K - 1)
+        ].max(jnp.where(place, blob_idx, -1))
+        slot_blob = blob_for_rank[jnp.clip(slot_ranks, 0, K - 1)]
+        new_cand = empty_cand & (slot_ranks >= 0) & (slot_blob >= 0)
+        cand_pos = jnp.where(
+            new_cand[:, None], blob_pos[jnp.clip(slot_blob, 0, cfg.maxBlobs - 1)], cand_pos
+        )
+        cand_age = jnp.where(new_cand, 1, cand_age)
+
+        # 5) promote mature candidates → new tracks in free slots
+        mature = cand_age >= cfg.newBlobDetectFrames
+        free_track = ~active
+        track_rank = jnp.cumsum(free_track.astype(jnp.int32)) - 1
+        mature_rank = jnp.cumsum(mature.astype(jnp.int32)) - 1
+        n_free = jnp.sum(free_track)
+        promote_c = mature & (mature_rank < n_free)
+        # candidate c → (mature_rank[c])-th free track slot
+        cand_for_rank = jnp.full((K,), -1, jnp.int32)
+        cand_idx = jnp.arange(K)
+        cand_for_rank = cand_for_rank.at[
+            jnp.clip(jnp.where(promote_c, mature_rank, K - 1), 0, K - 1)
+        ].max(jnp.where(promote_c, cand_idx, -1))
+        slot_cand = cand_for_rank[jnp.clip(track_rank, 0, K - 1)]
+        birth = free_track & (slot_cand >= 0) & (track_rank < jnp.sum(promote_c))
+        birth_pos = cand_pos[jnp.clip(slot_cand, 0, K - 1)]
+        kx, kP = kalman.kalman_reset_slot(kx, kP, birth, birth_pos, self.kparams)
+        n_birth = jnp.sum(birth)
+        birth_order = jnp.cumsum(birth.astype(jnp.int32)) - 1
+        ids = jnp.where(birth, state.next_id + birth_order, state.ids)
+        next_id = state.next_id + n_birth
+        active = active | birth
+        age = jnp.where(birth, 0, age)
+        lost = jnp.where(birth, 0, lost)
+        cand_age = jnp.where(promote_c, 0, cand_age)
+
+        ids = jnp.where(active, ids, -1)
+        new_state = TrackTable(
+            active=active,
+            ids=ids,
+            kx=kx,
+            kP=kP,
+            age=age,
+            lost=lost,
+            cand_pos=cand_pos,
+            cand_age=cand_age,
+            next_id=next_id,
+        )
+        tracks = Tracks(
+            active=active,
+            ids=ids,
+            x=kx[:, 0],
+            y=kx[:, 1],
+            w=jnp.maximum(kx[:, 2], 0.0),
+            h=jnp.maximum(kx[:, 3], 0.0),
+        )
+        return new_state, tracks

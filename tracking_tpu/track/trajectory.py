@@ -1,0 +1,133 @@
+"""Trajectory generation, post-processing, and analysis.
+
+Capability parity with the reference's module registries
+(``ustc_src/trackingMain.cpp:37-132``):
+
+- BlobTrackGen (YML / RawTracks, :640-650) → ``TrackRecorder``: host-side
+  accumulation of per-frame track states, saved as YAML-like or CSV track
+  files (track state save/load parity with ``trackingMain.cpp:685-758``).
+- BlobTrackPostProc (Kalman, :653-662) is already folded into the tracker's
+  Kalman bank (the emitted positions are the filtered states).
+- BlobTrackAnalysis (HistPVS etc., :667-677) → ``TrajectoryAnalysis``:
+  position/velocity histograms per scene with per-track abnormality scoring —
+  the legacy "Histogram P V S" analyzers build 5-D sparse histograms of
+  (position, velocity, state duration) and flag low-probability tracks.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import numpy as np
+
+
+@dataclass
+class TrackRecorder:
+    """Accumulates (frame, id, x, y, w, h) rows; writes tracks files."""
+
+    rows: List[tuple] = field(default_factory=list)
+
+    def record(self, frame_idx: int, tracks) -> None:
+        active = np.asarray(tracks.active)
+        ids = np.asarray(tracks.ids)
+        xs, ys = np.asarray(tracks.x), np.asarray(tracks.y)
+        ws, hs = np.asarray(tracks.w), np.asarray(tracks.h)
+        for k in np.nonzero(active)[0]:
+            self.rows.append(
+                (int(frame_idx), int(ids[k]), float(xs[k]), float(ys[k]), float(ws[k]), float(hs[k]))
+            )
+
+    def tracks_by_id(self) -> Dict[int, List[tuple]]:
+        out: Dict[int, List[tuple]] = {}
+        for row in self.rows:
+            out.setdefault(row[1], []).append(row)
+        return out
+
+    def save_csv(self, path: str) -> None:
+        """RawTracks-style output: frame,id,x,y,w,h per line."""
+        with open(path, "w") as fh:
+            fh.write("frame,id,x,y,w,h\n")
+            for r in self.rows:
+                fh.write("%d,%d,%.2f,%.2f,%.2f,%.2f\n" % r)
+
+    def save_yml(self, path: str) -> None:
+        """YML-style per-track sequences (BlobTrackGen YML parity)."""
+        data = {
+            f"track_{tid}": [
+                {"frame": f, "x": x, "y": y, "w": w, "h": h}
+                for (f, _tid, x, y, w, h) in rows
+            ]
+            for tid, rows in self.tracks_by_id().items()
+        }
+        with open(path, "w") as fh:
+            json.dump(data, fh, indent=1)
+
+    @classmethod
+    def load_csv(cls, path: str) -> "TrackRecorder":
+        rec = cls()
+        with open(path) as fh:
+            next(fh)
+            for line in fh:
+                f, i, x, y, w, h = line.strip().split(",")
+                rec.rows.append((int(f), int(i), float(x), float(y), float(w), float(h)))
+        return rec
+
+
+class TrajectoryAnalysis:
+    """Histogram-based trajectory analysis (HistPVS-style).
+
+    Builds 2-D position and velocity histograms over all observed track
+    states; a track's abnormality score is the mean negative log-frequency of
+    its states — low-probability trajectories score high, mirroring the legacy
+    analyzers' "abnormal track" flag.
+    """
+
+    def __init__(self, frame_w: int, frame_h: int, pos_bins: int = 16, vel_bins: int = 9):
+        self.frame_w, self.frame_h = frame_w, frame_h
+        self.pos_bins, self.vel_bins = pos_bins, vel_bins
+        self.pos_hist = np.zeros((pos_bins, pos_bins), np.float64)
+        self.vel_hist = np.zeros((vel_bins, vel_bins), np.float64)
+        self.total = 0
+
+    def _pos_bin(self, x, y):
+        bx = np.clip((x / self.frame_w * self.pos_bins).astype(int), 0, self.pos_bins - 1)
+        by = np.clip((y / self.frame_h * self.pos_bins).astype(int), 0, self.pos_bins - 1)
+        return bx, by
+
+    def _vel_bin(self, vx, vy):
+        half = self.vel_bins // 2
+        scale = self.frame_w / 64.0
+        bx = np.clip(np.round(vx / scale).astype(int) + half, 0, self.vel_bins - 1)
+        by = np.clip(np.round(vy / scale).astype(int) + half, 0, self.vel_bins - 1)
+        return bx, by
+
+    def update(self, recorder: TrackRecorder) -> None:
+        for tid, rows in recorder.tracks_by_id().items():
+            arr = np.array([(x, y) for (_f, _i, x, y, _w, _h) in rows])
+            if len(arr) < 2:
+                continue
+            vel = np.diff(arr, axis=0)
+            bx, by = self._pos_bin(arr[:, 0], arr[:, 1])
+            np.add.at(self.pos_hist, (by, bx), 1)
+            vbx, vby = self._vel_bin(vel[:, 0], vel[:, 1])
+            np.add.at(self.vel_hist, (vby, vbx), 1)
+            self.total += len(arr)
+
+    def abnormality(self, recorder: TrackRecorder) -> Dict[int, float]:
+        eps = 1e-9
+        p_pos = self.pos_hist / max(self.pos_hist.sum(), 1)
+        p_vel = self.vel_hist / max(self.vel_hist.sum(), 1)
+        scores: Dict[int, float] = {}
+        for tid, rows in recorder.tracks_by_id().items():
+            arr = np.array([(x, y) for (_f, _i, x, y, _w, _h) in rows])
+            if len(arr) < 2:
+                scores[tid] = 0.0
+                continue
+            vel = np.diff(arr, axis=0)
+            bx, by = self._pos_bin(arr[:, 0], arr[:, 1])
+            vbx, vby = self._vel_bin(vel[:, 0], vel[:, 1])
+            nll = -np.log(p_pos[by, bx] + eps).mean() - np.log(p_vel[vby, vbx] + eps).mean()
+            scores[tid] = float(nll)
+        return scores
