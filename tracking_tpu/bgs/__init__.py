@@ -6,3 +6,7 @@ import tracking_tpu.bgs.dp  # noqa: F401
 import tracking_tpu.bgs.gmm  # noqa: F401
 import tracking_tpu.bgs.sigma_delta  # noqa: F401
 import tracking_tpu.bgs.lbsp_family  # noqa: F401
+import tracking_tpu.bgs.lb  # noqa: F401
+import tracking_tpu.bgs.vumeter  # noqa: F401
+import tracking_tpu.bgs.prati_mediod  # noqa: F401
+import tracking_tpu.bgs.eigenbackground  # noqa: F401
