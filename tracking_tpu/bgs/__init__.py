@@ -11,4 +11,6 @@ import tracking_tpu.bgs.vumeter  # noqa: F401
 import tracking_tpu.bgs.prati_mediod  # noqa: F401
 import tracking_tpu.bgs.eigenbackground  # noqa: F401
 import tracking_tpu.bgs.t2f  # noqa: F401
+import tracking_tpu.bgs.gmg  # noqa: F401
+import tracking_tpu.bgs.kde  # noqa: F401
 import tracking_tpu.bgs.fuzzy  # noqa: F401
