@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
 from tracking_tpu.core.config import BGSConfig
 from tracking_tpu.core.registry import register
-from tracking_tpu.ops.filters import median_blur
+from tracking_tpu.ops.filters import binary_median_blur
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,7 +138,7 @@ class GMG(BGSAlgorithm):
         )
         fg = jnp.where(is_fg, jnp.uint8(255), jnp.uint8(0))
         if cfg.smoothingRadius > 0:
-            fg = median_blur(fg, cfg.smoothingRadius)
+            fg = binary_median_blur(fg, cfg.smoothingRadius)
         bg = jnp.zeros(frame.shape, jnp.uint8)
         return (
             {"t": t + 1, "colors": colors, "weights": weights, "nf": nf},

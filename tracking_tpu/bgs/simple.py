@@ -21,7 +21,7 @@ from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
 from tracking_tpu.core.config import BGSConfig
 from tracking_tpu.core.registry import register
 from tracking_tpu.ops.color import absdiff_u8, bgr2gray_u8, to_u8, to_unit_f32
-from tracking_tpu.ops.filters import median_blur
+from tracking_tpu.ops.filters import binary_median_blur
 from tracking_tpu.ops.threshold import threshold_binary
 
 
@@ -281,7 +281,7 @@ class AdaptiveSelectiveBackgroundLearning(BGSAlgorithm):
         f = to_unit_f32(gray)
         bg_f = to_unit_f32(bg)
         fg = threshold_binary(to_u8(jnp.abs(f - bg_f)), cfg.threshold)
-        fg = median_blur(fg, 3)
+        fg = binary_median_blur(fg, 3)
 
         in_learning = (cfg.learningFrames > 0) & (counter <= cfg.learningFrames)
         learn_bg = cfg.alphaLearn * f + (1.0 - cfg.alphaLearn) * bg_f

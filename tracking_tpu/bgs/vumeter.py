@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
 from tracking_tpu.core.config import BGSConfig
 from tracking_tpu.core.registry import register
-from tracking_tpu.ops.filters import median_blur
+from tracking_tpu.ops.filters import binary_median_blur
 from tracking_tpu.ops.morphology import erode
 
 
@@ -79,6 +79,6 @@ class VuMeter(BGSAlgorithm):
         # first 5 frames: mask forced empty (m_nCount < 5, :314-315)
         fg = jnp.where(t + 1 < 5, jnp.zeros_like(fg), fg)
         if cfg.enableFilter:
-            fg = median_blur(erode(fg, 3), 5)
+            fg = binary_median_blur(erode(fg, 3), 5)
 
         return {"t": t + 1, "hist": hist, "bg": new_bg}, fg, new_bg

