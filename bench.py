@@ -4,6 +4,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline measures against the BASELINE.json north star of 2000 720p
 frames/sec/chip for the full BGS(+tracking) pipeline.
 
+Measures the deployment configuration: BENCH_STREAMS (default 4) independent
+720p color streams vmapped on one chip, scanned in BENCH_CHUNK-frame chunks.
+fps/chip = aggregate frames across streams / wall time. Single-stream mode:
+BENCH_STREAMS=1.
+
 Timing notes: on the tunneled axon platform ``block_until_ready`` can return
 before remote execution completes, so every timed repetition ends with a
 device→host fetch of a scalar checksum that depends on all outputs — that
@@ -12,6 +17,7 @@ device; the measured quantity is steady-state on-device throughput.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -28,13 +34,16 @@ def main():
 
     algo = _flagship()
     h, w, c = 720, 1280, 3
-    t_chunk = 32
+    t_chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+    streams = int(os.environ.get("BENCH_STREAMS", "4"))
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 256, (t_chunk, h, w, c), dtype=np.uint8))
-    state0 = algo.init(h, w, c)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (t_chunk, streams, h, w, c), dtype=np.uint8)
+    )
+    state0 = jax.vmap(lambda _: algo.init(h, w, c))(jnp.arange(streams))
 
-    body = make_step_fn(algo)
+    body = jax.vmap(make_step_fn(algo))
 
     @jax.jit
     def run_chunk(state, frames):
@@ -48,17 +57,16 @@ def main():
 
     best_fps = 0.0
     for _ in range(5):
-        st = state0
         start = time.perf_counter()
         st, chk = run_chunk(st, frames)
         _ = int(chk)  # device→host fetch == completion barrier
         elapsed = time.perf_counter() - start
-        best_fps = max(best_fps, t_chunk / elapsed)
+        best_fps = max(best_fps, t_chunk * streams / elapsed)
 
     print(
         json.dumps(
             {
-                "metric": f"720p_bgs_fps_per_chip[{algo.name}]",
+                "metric": f"720p_bgs_fps_per_chip[{algo.name}x{streams}]",
                 "value": round(best_fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(best_fps / NORTH_STAR_FPS, 4),

@@ -14,4 +14,5 @@ import tracking_tpu.bgs.t2f  # noqa: F401
 import tracking_tpu.bgs.gmg  # noqa: F401
 import tracking_tpu.bgs.kde  # noqa: F401
 import tracking_tpu.bgs.imbs  # noqa: F401
+import tracking_tpu.bgs.texture  # noqa: F401
 import tracking_tpu.bgs.fuzzy  # noqa: F401

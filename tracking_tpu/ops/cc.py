@@ -44,6 +44,27 @@ def _neighbor_min(lab: jnp.ndarray, fg: jnp.ndarray, se: np.ndarray, big: int):
     return jnp.where(fg, out, big)
 
 
+def _masked_min_scan(lab: jnp.ndarray, fg: jnp.ndarray, big: int, axis: int, reverse: bool):
+    """Directional min-label flow: y_j = fg_j ? min(lab_j, y_{j−1}) : big.
+
+    T_j(x) = min(x ⊕ m_j, v_j) with m = 0 on fg / big off, v = fg ? lab : big
+    (⊕ = saturating add); transforms compose associatively
+    ((m1,v1)∘(m2,v2) = (m1⊕m2, min(v1⊕m2, v2))), giving whole-line
+    propagation in one log-depth associative scan.
+    """
+    m = jnp.where(fg, 0, big).astype(jnp.int32)
+    v = jnp.where(fg, lab, big).astype(jnp.int32)
+
+    def op(a, b):
+        return (
+            jnp.minimum(a[0] + b[0], big),
+            jnp.minimum(jnp.minimum(a[1] + b[0], big), b[1]),
+        )
+
+    _, y = jax.lax.associative_scan(op, (m, v), axis=axis, reverse=reverse)
+    return y
+
+
 @partial(jax.jit, static_argnames=("connectivity",))
 def label_components(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
     """Label connected components of a binary mask [H, W].
@@ -51,6 +72,11 @@ def label_components(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
     Returns int32 labels: background = -1; each component labeled by the
     linear index of its minimum pixel (row-major) — deterministic and
     order-compatible with OpenCV's top-left-first numbering after compaction.
+
+    Fixed-point of {4-directional line min-scans (log-depth associative
+    scans), one local neighbor-min step (supplies diagonal/4-conn coupling),
+    two pointer-jumping label compressions} — converges in O(component
+    spiral depth) iterations rather than O(pixel diameter).
     """
     H, W = mask.shape
     big = H * W
@@ -66,7 +92,11 @@ def label_components(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
 
     def body(carry):
         lab, _ = carry
-        new = _neighbor_min(lab, fg, se, big)
+        new = lab
+        for axis in (1, 0):
+            for rev in (False, True):
+                new = jnp.minimum(new, _masked_min_scan(new, fg, big, axis, rev))
+        new = _neighbor_min(new, fg, se, big)
         new = jnp.where(fg, jnp.minimum(new, compress(new)), big)
         new = jnp.where(fg, jnp.minimum(new, compress(new)), big)
         return new, jnp.any(new != lab)

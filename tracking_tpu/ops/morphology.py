@@ -73,11 +73,28 @@ def morph_close(img: jnp.ndarray, ksize=3, se: np.ndarray | None = None) -> jnp.
     return erode(dilate(img, ksize, se), ksize, se)
 
 
+def _masked_or_scan(reach: jnp.ndarray, bg: jnp.ndarray, axis: int, reverse: bool):
+    """Directional reachability: y_j = bg_j & (reach_j | y_{j−1}) along `axis`.
+
+    The recurrence is the affine-boolean transform T_j(x) = (x & p_j) | q_j
+    with p = bg, q = reach & bg; transforms compose associatively
+    ((p1,q1)∘(p2,q2) = (p1&p2, (q1&p2)|q2)), so the whole line propagates in
+    one log-depth ``associative_scan`` instead of length-many shift steps.
+    """
+    def op(a, b):
+        return a[0] & b[0], (a[1] & b[0]) | b[1]
+
+    _, y = jax.lax.associative_scan(
+        op, (bg, reach & bg), axis=axis, reverse=reverse
+    )
+    return y
+
+
 @partial(jax.jit, static_argnames=("seed",))
 def fill_holes(mask_u8: jnp.ndarray, seed: str = "border") -> jnp.ndarray:
     """Fill background regions unreachable from the seed (floodfill parity).
 
-    mask_u8: binary u8 mask [..., H, W] (255 = foreground). Background pixels
+    mask_u8: binary u8 mask [H, W] (255 = foreground). Background pixels
     (0) not reachable from the seed through other background pixels
     (4-connectivity, as ``cv::floodFill`` default) become foreground.
 
@@ -85,6 +102,11 @@ def fill_holes(mask_u8: jnp.ndarray, seed: str = "border") -> jnp.ndarray:
     seed="corner": only pixel (0, 0) — exact parity with SuBSENSE's
     ``cv::floodFill(mask, Point(0,0), 255)`` (``BackgroundSubtractorSuBSENSE
     .cpp:630``), where bg regions touching only other borders count as holes.
+
+    Reachability is computed by alternating 4-directional line sweeps (each a
+    log-depth associative scan over whole rows/columns) to a fixed point —
+    the iteration count is the mask's "spiral depth" (1-2 for real masks),
+    not its pixel diameter.
     """
     fg = mask_u8 > 0
     seeds = jnp.zeros(mask_u8.shape, dtype=bool)
@@ -95,21 +117,22 @@ def fill_holes(mask_u8: jnp.ndarray, seed: str = "border") -> jnp.ndarray:
         seeds = seeds.at[..., -1, :].set(True)
         seeds = seeds.at[..., :, 0].set(True)
         seeds = seeds.at[..., :, -1].set(True)
-    reach0 = seeds & ~fg
-
-    cross = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=bool)
+    bg = ~fg
+    reach0 = seeds & bg
+    h_ax, w_ax = mask_u8.ndim - 2, mask_u8.ndim - 1
 
     def body(state):
         reach, _ = state
-        grown = _shift_reduce(reach, cross, jnp.logical_or, False) & ~fg
-        return grown, jnp.any(grown != reach)
+        r = reach
+        r = r | _masked_or_scan(r, bg, w_ax, False)
+        r = r | _masked_or_scan(r, bg, w_ax, True)
+        r = r | _masked_or_scan(r, bg, h_ax, False)
+        r = r | _masked_or_scan(r, bg, h_ax, True)
+        return r, jnp.any(r != reach)
 
     def cond(state):
-        _, changed = state
-        return changed
+        return state[1]
 
-    # Propagation is monotone ⇒ the while_loop converges; the change flag
-    # exits at the fixed point.
     reach, _ = jax.lax.while_loop(cond, body, (reach0, jnp.array(True)))
     filled = fg | ~reach
     return jnp.where(filled, jnp.uint8(255), jnp.uint8(0))
