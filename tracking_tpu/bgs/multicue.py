@@ -1,0 +1,652 @@
+"""SJN_MultiCueBGS — ustc type 34 (Noh & Jeon 2012, sjn/).
+
+Reference: ``package_bgs/sjn/SJN_MultiCueBGS.{h,cpp}`` (2064 LoC). Multi-cue
+codebook BGS at a fixed reduced resolution (160×120) with cache-books and
+bounding-box-level verification:
+
+- **Pre-processing** (``:259-271``): nearest subsample to 160×120, 7×7 σ=0.7
+  Gaussian, then BGR→"HSVxyz": X = V·S·cos(H)·127.5+127.5,
+  Y = V·S·sin(H)·127.5+127.5, Z = V·255 (``BGR2HSVxyz_Par``).
+- **Texture codebooks** (``T_ModelConstruction`` ``:1320-1421``): per pixel ×
+  6 neighbor directions (offsets (±2,0),(±1,∓2),(±1,±2)), codewords over the
+  Z-difference with ±k(15) bands, blended on match (α=0.05; ×4 during the
+  21-frame training), MNRL bookkeeping, periodic staleness clearing
+  (training end: clearNum=20; background: 300; cache: 10 with stale<5,
+  ``T_ClearNonEssentialEntries*``).
+- **Color codebooks** (``C_CodebookConstruction`` ``:1804-1864``): one per
+  pixel, 3-channel ±η₁(20) box matching on the XYZ triple.
+- **Detection** (``:315-362``): texture confidence = 1 − matched/6 (bands
+  padded ±5); landmark 255 where conf > τ_T/6; textureless pixels
+  (background and input texture amounts < 50) fall back to color-codebook
+  matching (±η₁+10) → 125/255. 5×5 ≥50 % box-count morphology → candidate
+  map; 4-connectivity labeling → bounding boxes (margins ±(W/80, H/60),
+  clamped to the radius-2 inset) → size gate ([5..W]×[5..H]) → ghost check:
+  partial undirected Hausdorff (0.9 quantile) between Canny edges of the
+  frame ROI and of the candidate map ROI; distance > 10 ⇒ ghost ⇒ box
+  invalidated and its pixels re-learned into the background model. Invalid
+  boxes' 255-pixels are erased; the reduced map is bilinearly enlarged to
+  the input size (so the emitted mask has soft interpolated edges — the
+  reference's ``GetForegroundMap`` + ``cvResize`` does exactly this).
+- **Update** (``UpdateModel_Par`` ``:364-431``): pixels outside valid boxes
+  update the background books (clear period 300); pixels inside valid boxes
+  update the cache-books, and codewords re-observed 200 consecutive times
+  are absorbed into the background model (``T_Absorption``).
+
+TPU deviations (all documented): codebooks use fixed capacity (K=24 model /
+12 cache) with stalest-MNRL replacement on overflow — the reference grows
+arrays unboundedly (realloc +5), capacity pressure requires >24 distinct
+unmatched appearances within one 300-frame clear period; Canny runs on the
+full reduced image and is masked per box (the reference's per-ROI Canny
+sees different borders); the Hausdorff quantile test is evaluated in count
+form against a 12-step 3-4-chamfer distance field (exact for the ≤10 px
+decision up to chamfer's ≈2 % metric error); blob count capped at 64 boxes
+(the reference caps at 300).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
+from tracking_tpu.core.config import BGSConfig
+from tracking_tpu.core.registry import register
+from tracking_tpu.ops.canny import canny
+from tracking_tpu.ops.cc import extract_blobs
+from tracking_tpu.ops.color import bgr2gray_u8
+from tracking_tpu.ops.filters import gaussian_blur
+
+PI = 3.14159  # SJN_MultiCueBGS.h:23
+
+# neighbor directions (dx, dy), T_SetNeighborDirection (:1662-1708)
+_DIRS = [(-2, 0), (-1, -2), (1, -2), (2, 0), (1, 2), (-1, 2)]
+NN = 6
+RADIUS = 2
+MAX_BOXES = 64
+
+
+def _hsv_xyz(bgr_u8: jnp.ndarray) -> jnp.ndarray:
+    """BGR2HSVxyz_Par (:568-622): [H, W, 3] u8 → XYZ u8."""
+    b = bgr_u8[..., 0].astype(jnp.float32) / 255.0
+    g = bgr_u8[..., 1].astype(jnp.float32) / 255.0
+    r = bgr_u8[..., 2].astype(jnp.float32) / 255.0
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    v = mx
+    s = jnp.where(v == 0, 0.0, (mx - mn) / jnp.where(mx == 0, 1.0, mx))
+    # H in degrees; note the reference divides by S (not max−min) — faithful
+    safe_s = jnp.where(s == 0, 1.0, s)
+    h_r = 60.0 * (g - b) / safe_s
+    h_r = jnp.where(h_r < 0, 360.0 + h_r, h_r)
+    h_g = 120.0 + 60.0 * (b - r) / safe_s
+    h_b = 240.0 + 60.0 * (r - g) / safe_s
+    hh = jnp.where(mx == r, h_r, jnp.where(mx == g, h_g, h_b))
+    hh = jnp.where((v == 0) | (s == 0), 0.0, hh)
+    hrad = hh * (2.0 * PI) / 360.0
+    x = (v * s * jnp.cos(hrad) * 127.5 + 127.5).astype(jnp.uint8)
+    y = (v * s * jnp.sin(hrad) * 127.5 + 127.5).astype(jnp.uint8)
+    z = (v * 255.0).astype(jnp.uint8)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _first_true_k(mask: jnp.ndarray):
+    """(any, first index) along axis 0."""
+    return jnp.any(mask, axis=0), jnp.argmax(mask, axis=0)
+
+
+def _compact_k(order_key, arrays):
+    """Stable compaction along axis 0 by boolean keep-key (True entries
+    first, original order). order_key: [K, ...] priority ints."""
+    order = jnp.argsort(order_key, axis=0, stable=True)
+    return [jnp.take_along_axis(a, order.reshape(order.shape + (1,) * (a.ndim - order.ndim)) if a.ndim > order.ndim else order, axis=0) for a in arrays]
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiCueConfig(BGSConfig):
+    showOutput: bool = True
+    # reference ctor constants (SJN_MultiCueBGS.cpp:25-61)
+    trainingPeriod: int = 20
+    T_ModelThreshold: int = 1
+    C_ModelThreshold: int = 10  # unused by the effective code path
+    learningRate: float = 0.05
+    textureTrainVolRange: int = 15
+    colorTrainVolRange: int = 20
+    absorptionEnable: bool = True
+    absorptionPeriod: int = 200
+    reducedWidth: int = 160
+    reducedHeight: int = 120
+    backClearPeriod: int = 300
+    cacheClearPeriod: int = 30  # declared but the code passes 10 (:425-427)
+    # capacity caps (TPU fixed shapes; see module docstring)
+    modelCapacity: int = 24
+    cacheCapacity: int = 12
+
+
+@register("SJN_MultiCueBGS", type_id=34, aliases=("multicue",))
+class MultiCue(BGSAlgorithm):
+    Config = MultiCueConfig
+
+    # ---------------- codebook primitives (axis 0 = K) ----------------------
+    @staticmethod
+    def _construct(book, match, new_val_fn, upd_val_fn, do):
+        """Shared codeword bookkeeping for one frame.
+
+        book: dict with n [..], total [..], first/last/mnrl [K, ..] plus
+        payload arrays updated through new_val_fn/upd_val_fn.
+        match: [K, ...] bool candidate matches (active-masked by caller).
+        do: [...] bool — pixels participating this frame.
+        Returns (book, matched?, matched_idx, appended_idx).
+        """
+        K = book["mnrl"].shape[0]
+        ks = jnp.arange(K).reshape((K,) + (1,) * (book["n"].ndim))
+        active = ks < book["n"]
+        m = match & active
+        has, first = _first_true_k(m)
+        has = has & do
+        total = jnp.where(do, book["total"] + 1, book["total"])
+
+        # append slot: n if room else stalest (max mnrl) — capacity deviation
+        stale = jnp.where(active, book["mnrl"], -1)
+        stalest = jnp.argmax(stale, axis=0)
+        slot = jnp.where(book["n"] < K, book["n"], stalest)
+        appending = do & ~has
+        at_slot = (ks == slot) & appending
+        at_match = (ks == first) & has
+
+        out = dict(book)
+        out["total"] = total
+        out["n"] = jnp.where(appending, jnp.minimum(book["n"] + 1, K), book["n"])
+        out["first"] = jnp.where(at_slot, total, book["first"])
+        out["last"] = jnp.where(at_slot, total, jnp.where(at_match, total, book["last"]))
+        out["mnrl"] = jnp.where(at_slot, total - 1, book["mnrl"])
+        out = new_val_fn(out, at_slot)
+        out = upd_val_fn(out, at_match)
+        return out, has, first, slot
+
+    @staticmethod
+    def _clear(book, clear_num, payload_keys, do):
+        """T/C_ClearNonEssentialEntries (:1423-1489, :1901-1960)."""
+        K = book["mnrl"].shape[0]
+        ks = jnp.arange(K).reshape((K,) + (1,) * (book["n"].ndim))
+        active = ks < book["n"]
+        fire = do & (book["total"] >= clear_num)
+        keep = (book["mnrl"] <= clear_num // 2) & active
+        kcnt = jnp.sum(keep, axis=0)
+        degenerate = (kcnt == 0) | (kcnt == book["n"])
+
+        # compacted ordering: keepers first (stable)
+        key = jnp.where(keep, jnp.cumsum(keep, axis=0) - 1, K + ks)
+        order = jnp.argsort(key, axis=0, stable=True)
+
+        out = dict(book)
+        compact_cond = fire & ~degenerate  # shape of n
+        for name in ("first", "last", "mnrl") + tuple(payload_keys):
+            a = book[name]
+            o = order.reshape(order.shape + (1,) * (a.ndim - order.ndim))
+            compacted = jnp.take_along_axis(a, o, axis=0)
+            cc = compact_cond.reshape(
+                (1,) + compact_cond.shape + (1,) * (a.ndim - 1 - compact_cond.ndim)
+            )
+            out[name] = jnp.where(cc, compacted, a)
+        reset = fire & active  # times reset on every fired pixel
+        out["first"] = jnp.where(reset, 1, out["first"])
+        out["last"] = jnp.where(reset, 1, out["last"])
+        out["mnrl"] = jnp.where(reset, 0, out["mnrl"])
+        out["n"] = jnp.where(fire & ~degenerate, kcnt, book["n"])
+        out["total"] = jnp.where(fire, 0, book["total"])
+        return out
+
+    # ---------------- init ---------------------------------------------------
+    def init(self, h: int, w: int, c: int = 3) -> State:
+        cfg = self.config
+        RH, RW = cfg.reducedHeight, cfg.reducedWidth
+        K, Kc = cfg.modelCapacity, cfg.cacheCapacity
+
+        def t_book(cap, lead):
+            return {
+                "mean": jnp.zeros((cap,) + lead, jnp.float32),
+                "first": jnp.zeros((cap,) + lead, jnp.int32),
+                "last": jnp.zeros((cap,) + lead, jnp.int32),
+                "mnrl": jnp.zeros((cap,) + lead, jnp.int32),
+                "n": jnp.zeros(lead, jnp.int32),
+                "total": jnp.zeros(lead, jnp.int32),
+            }
+
+        def c_book(cap):
+            b = t_book(cap, (RH, RW))
+            b["mean"] = jnp.zeros((cap, RH, RW, 3), jnp.float32)
+            return b
+
+        return {
+            "t": jnp.zeros((), jnp.int32),
+            "tmodel": t_book(K, (NN, RH, RW)),
+            "tcache": t_book(Kc, (NN, RH, RW)),
+            "cmodel": c_book(K),
+            "ccache": c_book(Kc),
+            "t_ref": jnp.full((NN, RH, RW), -1, jnp.int32),
+            "t_cnt": jnp.zeros((NN, RH, RW), jnp.int32),
+            "c_ref": jnp.full((RH, RW), -1, jnp.int32),
+            "c_cnt": jnp.zeros((RH, RW), jnp.int32),
+        }
+
+    # ---------------- per-frame pieces ---------------------------------------
+    def _preprocess(self, frame):
+        cfg = self.config
+        RH, RW = cfg.reducedHeight, cfg.reducedWidth
+        h, w = frame.shape[:2]
+        ys = (np.arange(RH) * (h / RH)).astype(np.int32)
+        xs = (np.arange(RW) * (w / RW)).astype(np.int32)
+        small = frame[ys][:, xs]
+        blurred = gaussian_blur(small, 7, 0.7)
+        return _hsv_xyz(blurred), small
+
+    def _tex_diffs(self, z):
+        """Z-plane [RH, RW] f32 → [NN, RH, RW] center − neighbor diffs.
+        Out-of-range neighbors use position (-1,-1)'s value like the
+        reference's sentinel (clamped here; only inset pixels are consumed)."""
+        RH, RW = z.shape
+        outs = []
+        for dx, dy in _DIRS:
+            p = jnp.pad(z, ((2, 2), (2, 2)), mode="edge")
+            nb = p[2 + dy : 2 + dy + RH, 2 + dx : 2 + dx + RW]
+            outs.append(z - nb)
+        return jnp.stack(outs, axis=0)
+
+    def _t_construct(self, book, diffs, lr, do, is_model, state):
+        cfg = self.config
+        k = cfg.textureTrainVolRange
+        match = (book["mean"] - k <= diffs[None]) & (diffs[None] <= book["mean"] + k)
+
+        def new_val(out, at):
+            out["mean"] = jnp.where(at, diffs[None], out["mean"])
+            return out
+
+        def upd_val(out, at):
+            out["mean"] = jnp.where(at, lr * diffs[None] + (1 - lr) * out["mean"], out["mean"])
+            return out
+
+        book, has, first, slot = self._construct(book, match, new_val, upd_val, do)
+        if is_model:
+            # MNRL refresh for all entries (bID==1 branch, :1388-1398)
+            K = book["mnrl"].shape[0]
+            ks = jnp.arange(K).reshape((K, 1, 1, 1))
+            active = ks < book["n"]
+            neg = book["total"][None] - book["last"] + book["first"] - 1
+            book["mnrl"] = jnp.where(
+                active & do[None], jnp.maximum(book["mnrl"], neg), book["mnrl"]
+            )
+            t_ref = jnp.where(do, -1, state["t_ref"])
+            return book, t_ref, state["t_cnt"]
+        # cache: referred/continuous updates (:1401-1418)
+        mnrl0 = (jnp.arange(book["mnrl"].shape[0]).reshape((-1, 1, 1, 1)) == slot) & (do & ~has)[None]
+        book["mnrl"] = jnp.where(mnrl0, 0, book["mnrl"])
+        new_idx = jnp.where(has, first, slot)
+        same = has & (first == state["t_ref"])
+        t_cnt = jnp.where(do, jnp.where(same, state["t_cnt"] + 1, 1), state["t_cnt"])
+        t_ref = jnp.where(do, new_idx, state["t_ref"])
+        return book, t_ref, t_cnt
+
+    def _c_construct(self, book, xyz_f, lr, do, is_model, state):
+        cfg = self.config
+        k = cfg.colorTrainVolRange
+        mean = book["mean"]  # [K, RH, RW, 3]
+        px = xyz_f[None]
+        match = jnp.all((mean - k <= px) & (px <= mean + k), axis=-1)
+
+        def new_val(out, at):
+            out["mean"] = jnp.where(at[..., None], px, out["mean"])
+            return out
+
+        def upd_val(out, at):
+            out["mean"] = jnp.where(at[..., None], lr * px + (1 - lr) * out["mean"], out["mean"])
+            return out
+
+        book, has, first, slot = self._construct(book, match, new_val, upd_val, do)
+        if is_model:
+            K = book["mnrl"].shape[0]
+            ks = jnp.arange(K).reshape((K, 1, 1))
+            active = ks < book["n"]
+            neg = book["total"][None] - book["last"] + book["first"] - 1
+            book["mnrl"] = jnp.where(
+                active & do[None], jnp.maximum(book["mnrl"], neg), book["mnrl"]
+            )
+            c_ref = jnp.where(do, -1, state["c_ref"])
+            return book, c_ref, state["c_cnt"]
+        mnrl0 = (jnp.arange(book["mnrl"].shape[0]).reshape((-1, 1, 1)) == slot) & (do & ~has)[None]
+        book["mnrl"] = jnp.where(mnrl0, 0, book["mnrl"])
+        new_idx = jnp.where(has, first, slot)
+        same = has & (first == state["c_ref"])
+        c_cnt = jnp.where(do, jnp.where(same, state["c_cnt"] + 1, 1), state["c_cnt"])
+        c_ref = jnp.where(do, new_idx, state["c_ref"])
+        return book, c_ref, c_cnt
+
+    @staticmethod
+    def _cache_clear(book, landmark_is_fg, ref, clear_num, payload_keys, do, stale=5):
+        """T/C_ClearNonEssentialEntriesForCachebook (:1494-1560)."""
+        K = book["mnrl"].shape[0]
+        ks = jnp.arange(K).reshape((K,) + (1,) * book["n"].ndim)
+        active = ks < book["n"]
+        young = do & (book["total"] < clear_num)
+        keep_ref = landmark_is_fg[None] & (ks == ref[None])
+        out = dict(book)
+        out["mnrl"] = jnp.where(
+            young[None] & active, jnp.where(keep_ref, 0, book["mnrl"] + 1), book["mnrl"]
+        )
+        out["total"] = jnp.where(young, book["total"] + 1, book["total"])
+
+        fire = do & ~young
+        keep = (book["mnrl"] < stale) & active
+        kcnt = jnp.sum(keep, axis=0)
+        key = jnp.where(keep, jnp.cumsum(keep, axis=0) - 1, K + ks)
+        order = jnp.argsort(key, axis=0, stable=True)
+        for name in ("first", "last", "mnrl") + tuple(payload_keys):
+            a = out[name]
+            o = order.reshape(order.shape + (1,) * (a.ndim - order.ndim))
+            compacted = jnp.take_along_axis(a, o, axis=0)
+            out[name] = jnp.where(
+                (fire[None] if a.ndim == active.ndim else fire[None, ..., None]),
+                compacted, a,
+            ) if False else jnp.where(
+                fire.reshape((1,) + fire.shape + (1,) * (a.ndim - 1 - fire.ndim)),
+                compacted, a,
+            )
+        out["mnrl"] = jnp.where(fire[None] & active, 0, out["mnrl"])
+        out["n"] = jnp.where(fire, kcnt, out["n"])
+        out["total"] = jnp.where(fire, 0, out["total"])
+        return out
+
+    @staticmethod
+    def _absorb(model, cache, ref, cnt, period, payload_keys, do):
+        """T/C_Absorption (:1612-1659): move cache[ref] → model append."""
+        fire = do & (cnt >= period) & (ref >= 0) & (ref < cache["mnrl"].shape[0])
+        Km = model["mnrl"].shape[0]
+        Kc = cache["mnrl"].shape[0]
+        ks_m = jnp.arange(Km).reshape((Km,) + (1,) * model["n"].ndim)
+        ks_c = jnp.arange(Kc).reshape((Kc,) + (1,) * cache["n"].ndim)
+
+        # gather leaving codeword payloads from the cache
+        refc = jnp.clip(ref, 0, Kc - 1)
+        total2 = jnp.where(fire, model["total"] + 1, model["total"])
+        active_m = ks_m < model["n"]
+        stale = jnp.where(active_m, model["mnrl"], -1)
+        slot = jnp.where(model["n"] < Km, model["n"], jnp.argmax(stale, axis=0))
+        at = (ks_m == slot) & fire[None]
+
+        out_m = dict(model)
+        out_m["total"] = total2
+        out_m["n"] = jnp.where(fire, jnp.minimum(model["n"] + 1, Km), model["n"])
+        out_m["first"] = jnp.where(at, total2[None], model["first"])
+        out_m["last"] = jnp.where(at, total2[None], model["last"])
+        out_m["mnrl"] = jnp.where(at, total2[None] - 1, model["mnrl"])
+        for name in payload_keys:
+            cval = jnp.take_along_axis(
+                cache[name],
+                refc.reshape((1,) + refc.shape + (1,) * (cache[name].ndim - 1 - refc.ndim)),
+                axis=0,
+            )
+            out_m[name] = jnp.where(
+                at.reshape(at.shape + (1,) * (model[name].ndim - at.ndim)),
+                cval,
+                model[name],
+            )
+
+        # remove ref from cache: compact out that index
+        remove = (ks_c == refc) & fire[None]
+        keep = ~remove & (ks_c < cache["n"])
+        key = jnp.where(keep, jnp.cumsum(keep, axis=0) - 1, Kc + ks_c)
+        order = jnp.argsort(key, axis=0, stable=True)
+        out_c = dict(cache)
+        for name in ("first", "last", "mnrl") + tuple(payload_keys):
+            a = cache[name]
+            o = order.reshape(order.shape + (1,) * (a.ndim - order.ndim))
+            compacted = jnp.take_along_axis(a, o, axis=0)
+            out_c[name] = jnp.where(
+                fire.reshape((1,) + fire.shape + (1,) * (a.ndim - 1 - fire.ndim)),
+                compacted, a,
+            )
+        out_c["n"] = jnp.where(fire, jnp.maximum(cache["n"] - 1, 0), cache["n"])
+        return out_m, out_c
+
+    # ---------------- step ----------------------------------------------------
+    def step(self, state: State, frame: jnp.ndarray) -> StepResult:
+        cfg = self.config
+        RH, RW = cfg.reducedHeight, cfg.reducedWidth
+        f3 = frame if frame.ndim == 3 else jnp.repeat(frame[..., None], 3, -1)
+        h, w = f3.shape[:2]
+        t = state["t"]
+
+        xyz, small_bgr = self._preprocess(f3)
+        z = xyz[..., 2].astype(jnp.float32)
+        diffs = self._tex_diffs(z)
+        xyz_f = xyz.astype(jnp.float32)
+
+        inset = np.zeros((RH, RW), bool)
+        inset[RADIUS : RH - RADIUS, RADIUS : RW - RADIUS] = True
+        inset = jnp.asarray(inset)
+
+        training = t <= cfg.trainingPeriod
+
+        def train_step(st):
+            st = dict(st)
+            lr4 = cfg.learningRate * 4
+            do = inset
+            tm, t_ref, t_cnt = self._t_construct(
+                st["tmodel"], diffs, lr4, jnp.broadcast_to(do, (NN, RH, RW)), True, st
+            )
+            cm, c_ref, c_cnt = self._c_construct(st["cmodel"], xyz_f, lr4, do, True, st)
+            st["tmodel"], st["t_ref"], st["t_cnt"] = tm, t_ref, t_cnt
+            st["cmodel"], st["c_ref"], st["c_cnt"] = cm, c_ref, c_cnt
+
+            def end_train(st):
+                st = dict(st)
+                every = jnp.ones((NN, RH, RW), bool)
+                st["tmodel"] = self._clear(st["tmodel"], cfg.trainingPeriod, ("mean",), every)
+                st["cmodel"] = self._clear(st["cmodel"], cfg.trainingPeriod, ("mean",), jnp.ones((RH, RW), bool))
+                st["t"] = st["t"] + 1  # the extra g_iFrameCount++ (:305-310)
+                return st
+
+            st = jax.lax.cond(t == cfg.trainingPeriod, end_train, lambda s: dict(s), st)
+            return st, jnp.zeros((h, w), jnp.uint8)
+
+        def detect_step(st):
+            st = dict(st)
+            tb = st["tmodel"]
+            K = cfg.modelCapacity
+            ks6 = jnp.arange(K).reshape((K, 1, 1, 1))
+            act = ks6 < tb["n"]
+            pad = 5.0
+            band = (
+                (tb["mean"] - cfg.textureTrainVolRange - pad <= diffs[None])
+                & (diffs[None] <= tb["mean"] + cfg.textureTrainVolRange + pad)
+                & act
+            )
+            matched = jnp.any(band, axis=0)  # [NN, RH, RW]
+            conf = 1.0 - jnp.sum(matched, axis=0).astype(jnp.float32) / NN
+            conf = jnp.where(inset, conf, 0.0)
+
+            # landmark (CreateLandmarkArray_Par :434-503)
+            conf_thr = cfg.T_ModelThreshold / float(NN)
+            tex_fg = conf > conf_thr
+            back_amt_sum = jnp.sum(jnp.where(act, tb["mean"], 0.0), axis=(0, 1))
+            back_cnt = jnp.maximum(jnp.sum(act, axis=(0, 1)), 1)
+            back_amt = back_amt_sum / back_cnt
+            input_amt = jnp.sum(jnp.abs(diffs), axis=0)
+            textureless = (back_amt < 50) & (input_amt < 50)
+            cb = st["cmodel"]
+            kc = jnp.arange(K).reshape((K, 1, 1, 1))
+            c_act = (jnp.arange(K).reshape((K, 1, 1)) < cb["n"])
+            rng = cfg.colorTrainVolRange + 10
+            c_match = jnp.any(
+                jnp.all(
+                    (cb["mean"] - rng <= xyz_f[None]) & (xyz_f[None] <= cb["mean"] + rng),
+                    axis=-1,
+                )
+                & c_act,
+                axis=0,
+            )
+            landmark = jnp.where(
+                tex_fg,
+                jnp.uint8(255),
+                jnp.where(
+                    textureless & ~c_match, jnp.uint8(255),
+                    jnp.where(textureless & c_match, jnp.uint8(125), jnp.uint8(0)),
+                ),
+            )
+            landmark = jnp.where(inset, landmark, 0)
+
+            # morphology: 5×5 count of 255s ≥ 12 (:671-716)
+            on = jnp.pad((landmark == 255).astype(jnp.int32), 2)
+            cnt5 = jax.lax.reduce_window(on, 0, jax.lax.add, (5, 5), (1, 1), "VALID")
+            inset1 = np.zeros((RH, RW), bool)
+            inset1[2 : RH - 2, 2 : RW - 2] = True
+            fore = jnp.where(jnp.asarray(inset1) & (cnt5 >= 12), jnp.uint8(255), jnp.uint8(0))
+
+            # boxes (4-connectivity labeling, :720-805; margins :835-852)
+            blobs = extract_blobs(fore, max_blobs=MAX_BOXES, connectivity=4)
+            bw, bh_ = RW // 80, RH // 60
+            left = jnp.clip(blobs.x0 - bw, RADIUS, RW - RADIUS - 1)
+            right = jnp.clip(blobs.x1 + bw, None, RW - RADIUS - 1)
+            upper = jnp.clip(blobs.y0 - bh_, RADIUS, RH - RADIUS - 1)
+            bottom = jnp.clip(blobs.y1 + bh_, None, RH - RADIUS - 1)
+            exists = blobs.area > 0
+            bwid = right - left
+            bhei = bottom - upper
+            valid = exists & (bwid >= 5) & (bwid <= RW) & (bhei >= 5) & (bhei <= RH)
+
+            # ghost check (EvaluateGhostRegion :971-1050)
+            gray_small = bgr2gray_u8(small_bgr)
+            frame_edges = canny(gray_small, 100, 150) > 0
+            fore_edges = canny(fore, 100, 150) > 0
+            # 3-4 chamfer distance to frame edges (12 sweeps ≈ 12 px reach)
+            INF = 1e9
+            d = jnp.where(frame_edges, 0.0, INF)
+            p8 = [(-1, -1, 1.4142), (-1, 0, 1.0), (-1, 1, 1.4142), (0, -1, 1.0),
+                  (0, 1, 1.0), (1, -1, 1.4142), (1, 0, 1.0), (1, 1, 1.4142)]
+
+            def chamfer_once(d):
+                best = d
+                pd = jnp.pad(d, 1, constant_values=INF)
+                for dy, dx, cst in p8:
+                    best = jnp.minimum(best, pd[1 + dy : 1 + dy + RH, 1 + dx : 1 + dx + RW] + cst)
+                return best
+
+            for _ in range(12):
+                d = chamfer_once(d)
+
+            rows = jnp.arange(RH)[None, :, None]
+            cols = jnp.arange(RW)[None, None, :]
+            # exclusive ranges for the ghost/removal loops (:1007-1014)
+            box_excl = (
+                (rows >= upper[:, None, None]) & (rows < bottom[:, None, None])
+                & (cols >= left[:, None, None]) & (cols < right[:, None, None])
+            )
+            fe = fore_edges[None] & box_excl
+            ie = frame_edges[None] & box_excl
+            nm = jnp.sum(fe, axis=(1, 2))
+            ni = jnp.sum(ie, axis=(1, 2))
+            close = jnp.sum(fe & (d[None] <= 10.0), axis=(1, 2))
+            qidx = jnp.minimum((0.9 * nm).astype(jnp.int32), jnp.maximum(nm - 1, 0))
+            ghost_pts = close <= qidx  # quantile element > 10 px
+            ghost = jnp.where(
+                (nm > 0) & (ni > 0), ghost_pts,
+                jnp.where((nm == 0) & (ni > 0), ni > 10,
+                          jnp.where((nm > 0) & (ni == 0), nm > 10, False)),
+            )
+            ghost = ghost & valid
+            ghost_px = jnp.any(box_excl & ghost[:, None, None], axis=0)
+            valid = valid & ~ghost
+
+            # ghost pixels: extra model learning (:1031-1046)
+            lr = cfg.learningRate
+            tm, t_ref, t_cnt = self._t_construct(
+                st["tmodel"], diffs, lr, jnp.broadcast_to(ghost_px, (NN, RH, RW)), True, st
+            )
+            st["tmodel"], st["t_ref"], st["t_cnt"] = tm, t_ref, t_cnt
+            cm, c_ref, c_cnt = self._c_construct(st["cmodel"], xyz_f, lr, ghost_px, True, st)
+            st["cmodel"], st["c_ref"], st["c_cnt"] = cm, c_ref, c_cnt
+            st["tmodel"] = self._clear(
+                st["tmodel"], cfg.backClearPeriod, ("mean",),
+                jnp.broadcast_to(ghost_px, (NN, RH, RW)),
+            )
+            st["cmodel"] = self._clear(st["cmodel"], cfg.backClearPeriod, ("mean",), ghost_px)
+
+            # erase invalid boxes' 255s (:1117-1134)
+            invalid_px = jnp.any(box_excl & (exists & ~valid)[:, None, None], axis=0)
+            fore = jnp.where(invalid_px & (fore == 255), jnp.uint8(0), fore)
+
+            # ---- UpdateModel_Par (:364-431) ----
+            box_incl = (
+                (rows >= upper[:, None, None]) & (rows <= bottom[:, None, None])
+                & (cols >= left[:, None, None]) & (cols <= right[:, None, None])
+            )
+            in_valid_box = jnp.any(box_incl & valid[:, None, None], axis=0)
+            upd_bg = inset & ~in_valid_box
+            upd_cache = inset & in_valid_box
+
+            tm, t_ref, t_cnt = self._t_construct(
+                st["tmodel"], diffs, lr, jnp.broadcast_to(upd_bg, (NN, RH, RW)), True, st
+            )
+            st["tmodel"], st["t_ref"], st["t_cnt"] = tm, t_ref, t_cnt
+            cm, c_ref, c_cnt = self._c_construct(st["cmodel"], xyz_f, lr, upd_bg, True, st)
+            st["cmodel"], st["c_ref"], st["c_cnt"] = cm, c_ref, c_cnt
+            st["tmodel"] = self._clear(
+                st["tmodel"], cfg.backClearPeriod, ("mean",),
+                jnp.broadcast_to(upd_bg, (NN, RH, RW)),
+            )
+            st["cmodel"] = self._clear(st["cmodel"], cfg.backClearPeriod, ("mean",), upd_bg)
+
+            if cfg.absorptionEnable:
+                tc, t_ref, t_cnt = self._t_construct(
+                    st["tcache"], diffs, lr,
+                    jnp.broadcast_to(upd_cache, (NN, RH, RW)), False,
+                    dict(st, t_ref=st["t_ref"], t_cnt=st["t_cnt"]),
+                )
+                st["tcache"], st["t_ref"], st["t_cnt"] = tc, t_ref, t_cnt
+                cc, c_ref, c_cnt = self._c_construct(
+                    st["ccache"], xyz_f, lr, upd_cache, False, st
+                )
+                st["ccache"], st["c_ref"], st["c_cnt"] = cc, c_ref, c_cnt
+
+                st["tmodel"], st["tcache"] = self._absorb(
+                    st["tmodel"], st["tcache"], st["t_ref"], st["t_cnt"],
+                    cfg.absorptionPeriod, ("mean",),
+                    jnp.broadcast_to(upd_cache, (NN, RH, RW)),
+                )
+                st["cmodel"], st["ccache"] = self._absorb(
+                    st["cmodel"], st["ccache"], st["c_ref"], st["c_cnt"],
+                    cfg.absorptionPeriod, ("mean",), upd_cache,
+                )
+
+                lm_fg = landmark == 255
+                st["tcache"] = self._cache_clear(
+                    st["tcache"], jnp.broadcast_to(lm_fg, (NN, RH, RW)), st["t_ref"],
+                    10, ("mean",), jnp.broadcast_to(inset, (NN, RH, RW)),
+                )
+                st["ccache"] = self._cache_clear(
+                    st["ccache"], lm_fg, st["c_ref"], 10, ("mean",), inset
+                )
+
+            # enlarge (GetForegroundMap → cvResize bilinear, :1137-1186)
+            out = jax.image.resize(
+                fore.astype(jnp.float32), (h, w), method="bilinear"
+            )
+            out = jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+            return st, out
+
+        def train_wrap(st):
+            st2, m = train_step(st)
+            st2["t"] = st2["t"] + 1
+            return st2, m
+
+        def detect_wrap(st):
+            st2, m = detect_step(st)
+            st2["t"] = st2["t"] + 1
+            return st2, m
+
+        new_state, fg = jax.lax.cond(training, train_wrap, detect_wrap, state)
+        bg = jnp.zeros(frame.shape, jnp.uint8)
+        return new_state, fg, bg
