@@ -35,7 +35,7 @@ def main():
     algo = _flagship()
     h, w, c = 720, 1280, 3
     t_chunk = int(os.environ.get("BENCH_CHUNK", "16"))
-    streams = int(os.environ.get("BENCH_STREAMS", "4"))
+    streams = int(os.environ.get("BENCH_STREAMS", "2"))
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(

@@ -1,0 +1,332 @@
+"""LbpMrf — ustc type 30 (Kertész texture-based detection, ck/).
+
+Reference: wrapper ``package_bgs/ck/LbpMrf.cpp`` (mode md_LBPHistograms) over
+``ck/MotionDetection.cpp`` + ``ck/MEImage.cpp`` (+ Boykov–Kolmogorov maxflow
+in ``ck/maxflow.cpp``). Constants: 3 histograms/pixel, 5×5 area with a
+13-pixel cvCircle mask, 8 bins, match threshold 0.75, background threshold
+0.95, learning rates 0.01 (+ (100−life)/100 warm-up boost), min-cut weight 8
+(``MotionDetection.cpp:55-60``).
+
+Per frame (``DetectMotionsHU`` ``:504-602``):
+1. the BGR input is treated as RGB (MEImage convention — channels swapped,
+   faithful) and converted to CIELuv; its u-layer resized to 32×24 detects
+   scene cuts (>80 % of pixels changed by >12 ⇒ model reset);
+2. gray = CV_RGB2GRAY *of the Luv image* (L,u,v weighted as R,G,B —
+   faithful quirk), then the "special" LBP (8 averaged-group comparisons
+   on a 5×5 patch, ``MEImage.cpp:783-813``), codes ≫6;
+3. per model pixel (grid (W−4)×(H−4), models on alternate columns — and the
+   last model column double-updated on rows with y%2 == gridW%2, a faithful
+   structural quirk of ``UpdateModelHU``'s sliding loops ``:604-806``):
+   masked 5×5 histogram; intersections vs 3 stored histograms; all < 0.75 ⇒
+   replace the min-weight histogram (w=0.01, renormalize, non-bg); else blend
+   the best match and EMA the weights, re-selecting background histograms as
+   the top-weight set covering 0.95 (``UpdateHUPixelData`` ``:806-950``);
+   BackgroundRate = best intersection among background histograms;
+4. mask (``GetMotionsMaskHU`` ``:1256-1366``): a 2-label MRF with unary
+   (FG=1 vs BG=8·(1−rate)) and unit Potts pairwise on the 4-neighbor grid
+   (no edges for x==0/y==0 nodes — faithful); the reference solves it by
+   BK max-flow — **TPU deviation: red/black ICM relaxation (8 sweeps) of the
+   same energy** (min-cut is its global optimum; ICM from the unary-optimal
+   init agrees except near threshold ties); model pixels paint a
+   checkerboard (row y+3 / col x+2 offsets — faithful off-center), gaps
+   filled by ≥2-of-4 neighbor vote, corner-seeded hole filling, 3×3 erode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
+from tracking_tpu.core.config import BGSConfig
+from tracking_tpu.core.registry import register
+from tracking_tpu.ops.morphology import erode, fill_holes
+
+AREA = 5
+BINS = 8
+NH = 3  # histograms per pixel
+PR_THRES = 0.75
+BG_THRES = 0.95
+LRATE = 0.01
+MINCUT_W = 8.0
+SHIFT = 6  # log2(256/8)+1
+
+# cvCircle((2,2), r=2, filled) on 5×5 — 13-pixel mask
+_MASK = np.array(
+    [
+        [0, 0, 1, 0, 0],
+        [0, 1, 1, 1, 0],
+        [1, 1, 1, 1, 1],
+        [0, 1, 1, 1, 0],
+        [0, 0, 1, 0, 0],
+    ],
+    np.bool_,
+)
+SAMPLE_PX = int(_MASK.sum())
+
+
+def _rgb2luv_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV CV_RGB2Luv on u8 (channel 0 treated as R — the reference feeds
+    BGR data through MEImage's RGB pipeline, so the swap is faithful)."""
+    r = img[..., 0].astype(jnp.float32) / 255.0
+    g = img[..., 1].astype(jnp.float32) / 255.0
+    b = img[..., 2].astype(jnp.float32) / 255.0
+    x = 0.412453 * r + 0.357580 * g + 0.180423 * b
+    y = 0.212671 * r + 0.715160 * g + 0.072169 * b
+    z = 0.019334 * r + 0.119193 * g + 0.950227 * b
+    thr = 0.008856
+    l = jnp.where(y > thr, 116.0 * jnp.cbrt(y) - 16.0, 903.3 * y)
+    d = x + 15.0 * y + 3.0 * z
+    d = jnp.where(d == 0, 1e-6, d)
+    u_p = 4.0 * x / d
+    v_p = 9.0 * y / d
+    un, vn = 0.19793943, 0.46831096
+    u = 13.0 * l * (u_p - un)
+    v = 13.0 * l * (v_p - vn)
+    l8 = jnp.clip(jnp.rint(l * 255.0 / 100.0), 0, 255)
+    u8_ = jnp.clip(jnp.rint((u + 134.0) * 255.0 / 354.0), 0, 255)
+    v8 = jnp.clip(jnp.rint((v + 140.0) * 255.0 / 262.0), 0, 255)
+    return jnp.stack([l8, u8_, v8], -1).astype(jnp.uint8)
+
+
+def _lbp_special(gray: jnp.ndarray) -> jnp.ndarray:
+    """MEImage lbp_Special (MEImage.cpp:783-813): integer averaged-group
+    comparisons on a 5×5 patch; 2-px border stays 0."""
+    h, w = gray.shape
+    g = gray.astype(jnp.int32)
+    p = jnp.pad(g, 2)
+
+    def s(dy, dx):
+        return p[2 + dy : 2 + dy + h, 2 + dx : 2 + dx + w]
+
+    center = (s(0, 1) + s(0, -1) + s(-1, 0) + s(1, 0)) // 4
+    groups = [
+        ((s(-2, -2) + s(-2, -1) + s(-1, -2) + s(-1, -1)) // 4, 1),
+        ((s(-1, 0) + s(-2, 0)) // 2, 2),
+        ((s(-2, 2) + s(-2, 1) + s(-1, 2) + s(-1, 1)) // 4, 4),
+        ((s(0, -1) + s(0, -2)) // 2, 8),
+        ((s(0, 1) + s(0, 2)) // 2, 16),
+        ((s(2, -2) + s(2, -1) + s(1, -2) + s(1, -1)) // 4, 32),
+        ((s(1, 0) + s(-2, 0)) // 2, 64),  # faithful: mixes +1 and −2 rows
+        ((s(2, 2) + s(2, 1) + s(1, 2) + s(1, 1)) // 4, 128),
+    ]
+    code = jnp.zeros((h, w), jnp.int32)
+    for val, bit in groups:
+        code = code + jnp.where(center <= val, bit, 0)
+    interior = np.zeros((h, w), bool)
+    interior[2 : h - 2, 2 : w - 2] = True
+    return jnp.where(jnp.asarray(interior), code, 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class LbpMrfConfig(BGSConfig):
+    showOutput: bool = True
+    icm_sweeps: int = 8
+
+
+@register("LbpMrf", type_id=30, aliases=("lbp-mrf",))
+class LbpMrf(BGSAlgorithm):
+    Config = LbpMrfConfig
+
+    def init(self, h: int, w: int, c: int = 3) -> State:
+        gh, gw = h - AREA + 1, w - AREA + 1
+        gwm = gw // 2
+        return {
+            "t": jnp.zeros((), jnp.int32),
+            "hist": jnp.zeros((NH, BINS, gh, gwm), jnp.float32),
+            "weights": jnp.full((NH, gh, gwm), 1.0 / NH, jnp.float32),
+            "bg_flag": jnp.ones((NH, gh, gwm), jnp.bool_),
+            "life": jnp.zeros((gh, gwm), jnp.int32),
+            "prev_blue": jnp.zeros((24, 32), jnp.float32),
+            "inited": jnp.zeros((gh, gwm), jnp.bool_),
+        }
+
+    def _window_hist(self, codes, gh, gw):
+        """[8, gh, gw] masked 5×5 histograms for every window position."""
+        onehot = (codes[None] == jnp.arange(BINS)[:, None, None]).astype(jnp.float32)
+        acc = jnp.zeros((BINS, gh, gw), jnp.float32)
+        for dy in range(AREA):
+            for dx in range(AREA):
+                if _MASK[dy, dx]:
+                    acc = acc + onehot[:, dy : dy + gh, dx : dx + gw]
+        return acc
+
+    def _update_models(self, st, hist_now, reset):
+        """UpdateHUPixelData vectorized over the model grid."""
+        h = st["hist"]
+        w = st["weights"]
+        bgf = st["bg_flag"]
+        life = st["life"] + 1
+
+        inter = jnp.sum(jnp.minimum(hist_now[None], h), axis=1) / SAMPLE_PX  # [NH,...]
+        bg_rate = jnp.max(jnp.where(bgf, inter, -1.0), axis=0)
+        bg_rate = jnp.maximum(bg_rate, 0.0)
+        best = jnp.argmax(inter, axis=0)
+        best_oh = jnp.arange(NH)[:, None, None] == best[None]
+        replace = jnp.all(inter < PR_THRES, axis=0)
+
+        # replace path: overwrite min-weight histogram, w=0.01, renormalize
+        minw = jnp.argmin(w, axis=0)
+        min_oh = jnp.arange(NH)[:, None, None] == minw[None]
+        w_rep = jnp.where(min_oh, 0.01, w)
+        w_rep = w_rep / jnp.sum(w_rep, axis=0, keepdims=True)
+        h_rep = jnp.where(min_oh[:, None], hist_now[None], h)
+        bgf_rep = jnp.where(min_oh, False, bgf)
+
+        # update path
+        lr = LRATE + jnp.where(life < 100, (100 - life).astype(jnp.float32) / 100.0, 0.0)
+        h_upd = jnp.where(
+            best_oh[:, None], (1.0 - lr)[None, None] * h + lr[None, None] * hist_now[None], h
+        )
+        w_upd = lr[None] * best_oh.astype(jnp.float32) + (1.0 - lr)[None] * w
+        # background selection: top weights covering BG_THRES
+        order = jnp.argsort(-w_upd, axis=0, stable=True)
+        w_sorted = jnp.take_along_axis(w_upd, order, axis=0)
+        cum = jnp.cumsum(w_sorted, axis=0)
+        sel_sorted = (cum - w_sorted) <= BG_THRES  # include until sum exceeds
+        rank = jnp.argsort(order, axis=0, stable=True)
+        bgf_upd = jnp.take_along_axis(sel_sorted, rank, axis=0)
+
+        hist2 = jnp.where(replace[None, None], h_rep, h_upd)
+        w2 = jnp.where(replace[None], w_rep, w_upd)
+        bgf2 = jnp.where(replace[None], bgf_rep, bgf_upd)
+
+        # reset / first-init path: all three histograms = current
+        fresh = reset | ~st["inited"]
+        hist2 = jnp.where(fresh[None, None], hist_now[None], hist2)
+        w2 = jnp.where(fresh[None], 1.0 / NH, w2)
+        bgf2 = jnp.where(fresh[None], True, bgf2)
+        life = jnp.where(fresh, 0, life)
+        bg_rate = jnp.where(fresh, 1.0, bg_rate)
+        return dict(
+            st, hist=hist2, weights=w2, bg_flag=bgf2, life=life,
+            inited=jnp.ones_like(st["inited"]),
+        ), bg_rate
+
+    def _mrf_cut(self, bg_rate):
+        """ICM relaxation of the reference's min-cut energy (see docstring).
+        Labels: 1 = FG (sink). E = Σ fg·1 + bg·8(1−rate) + Σ 4-conn disagree
+        (edges only between nodes with x>0 & y>0, faithful)."""
+        cfg = self.config
+        gh, gw = bg_rate.shape
+        u_fg = jnp.ones((gh, gw), jnp.float32)
+        u_bg = MINCUT_W * (1.0 - bg_rate)
+        lab = (u_fg < u_bg).astype(jnp.float32)  # FG where unary-cheaper
+
+        # edge masks: node (x,y) connects to (x−1,y) and (x,y−1) iff x>0 and y>0
+        has = np.zeros((gh, gw), bool)
+        has[1:, 1:] = True
+        has = jnp.asarray(has)
+
+        yy, xx = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+        red = jnp.asarray((yy + xx) % 2 == 0)
+
+        def nb_sum(l):
+            p = jnp.pad(l, 1)
+            up, down = p[:-2, 1:-1], p[2:, 1:-1]
+            left, right = p[1:-1, :-2], p[1:-1, 2:]
+            # edge (x,y)-(x,y−1) exists iff has[y,x]; (x,y)-(x−1,y) iff has
+            up_w = has.astype(jnp.float32)
+            down_w = jnp.pad(has, ((0, 1), (0, 0)))[1:].astype(jnp.float32)
+            left_w = has.astype(jnp.float32)
+            right_w = jnp.pad(has, ((0, 0), (0, 1)))[:, 1:].astype(jnp.float32)
+            s1 = up * up_w + down * down_w + left * left_w + right * right_w
+            cnt = up_w + down_w + left_w + right_w
+            return s1, cnt
+
+        def half(lab, color):
+            s1, cnt = nb_sum(lab)
+            e_fg = u_fg + (cnt - s1)  # disagreements if I'm FG
+            e_bg = u_bg + s1
+            new = (e_fg < e_bg).astype(jnp.float32)
+            return jnp.where(color, new, lab)
+
+        for _ in range(self.config.icm_sweeps):
+            lab = half(lab, red)
+            lab = half(lab, ~red)
+        return lab > 0.5
+
+    def step(self, state: State, frame: jnp.ndarray) -> StepResult:
+        f3 = frame if frame.ndim == 3 else jnp.repeat(frame[..., None], 3, -1)
+        h, w = f3.shape[:2]
+        gh, gw = h - AREA + 1, w - AREA + 1
+        gwm = gw // 2
+        t = state["t"]
+
+        luv = _rgb2luv_u8(f3)
+        blue = jax.image.resize(luv[..., 1].astype(jnp.float32), (24, 32), "bilinear")
+        diff_pct = 100.0 * jnp.mean(jnp.abs(blue - state["prev_blue"]) > 12)
+        reset_all = (diff_pct > 80.0) & (t > 0)
+
+        gray = jnp.clip(
+            jnp.rint(
+                0.299 * luv[..., 0].astype(jnp.float32)
+                + 0.587 * luv[..., 1].astype(jnp.float32)
+                + 0.114 * luv[..., 2].astype(jnp.float32)
+            ),
+            0, 255,
+        )
+        codes = _lbp_special(gray.astype(jnp.uint8)) >> SHIFT
+
+        hist_all = self._window_hist(codes, gh, gw)  # [8, gh, gw]
+
+        # faithful quirk: the last model column gets a pre-update with the
+        # window at x = gw−1 on rows where y%2 == gw%2 (UpdateModelHU :628-718)
+        extra_rows = (jnp.arange(gh) % 2) == (gw % 2)
+        extra_mask = jnp.zeros((gh, gwm), bool).at[:, gwm - 1].set(True) & extra_rows[:, None]
+        hist_extra = jnp.broadcast_to(hist_all[:, :, gw - 1 : gw], (BINS, gh, gwm))
+        st2, _ = self._update_models(state, hist_extra, jnp.zeros((gh, gwm), bool))
+        st = {
+            k: (
+                jnp.where(
+                    extra_mask.reshape((1,) * (st2[k].ndim - 2) + extra_mask.shape),
+                    st2[k], state[k],
+                )
+                if hasattr(st2[k], "shape") and st2[k].shape[-2:] == (gh, gwm)
+                else state[k]
+            )
+            for k in st2
+        }
+
+        hist_now = hist_all[:, :, 0 : 2 * gwm : 2]  # windows at even x
+        reset_grid = jnp.broadcast_to(reset_all, (gh, gwm))
+        st, bg_rate = self._update_models(st, hist_now, reset_grid)
+
+        fg_model = self._mrf_cut(bg_rate)  # [gh, gwm]
+
+        # assemble the mask (GetMotionsMaskHU :1256-1366)
+        xs = np.arange(gw)
+        ys = np.arange(gh)
+        direct = (ys[:, None] % 2) == ((xs[None, :] + 1) % 2)
+        xm = np.minimum(xs // 2, gwm - 1)
+        fg_cols = fg_model[:, jnp.asarray(xm)]  # [gh, gw]
+        left_ok = xs > 1
+        right_ok = xs < (w - AREA - 1)
+        xl = np.maximum(xs // 2 - 1, 0)
+        xr = np.minimum(xs // 2 + 1, gwm - 1)
+        votes = (
+            (fg_model[:, jnp.asarray(xl)] & jnp.asarray(left_ok)[None]).astype(jnp.int32)
+            + (fg_model[:, jnp.asarray(xr)] & jnp.asarray(right_ok)[None]).astype(jnp.int32)
+            + jnp.pad(fg_model, ((1, 0), (0, 0)))[:gh][:, jnp.asarray(xm)].astype(jnp.int32)
+            + jnp.pad(fg_model, ((0, 1), (0, 0)))[1:][:, jnp.asarray(xm)].astype(jnp.int32)
+        )
+        grid_fg = jnp.where(jnp.asarray(direct), fg_cols, votes > 1)
+
+        mask = jnp.zeros((h, w), jnp.uint8)
+        # model row y → mask row y+3, col x+2 (faithful off-center placement)
+        ph = min(gh, h - 3)
+        mask = mask.at[3 : 3 + ph, 2 : 2 + gw].set(
+            jnp.where(grid_fg[:ph], jnp.uint8(255), jnp.uint8(0))
+        )
+        mask = jnp.where(state["t"] == 0, jnp.zeros_like(mask), mask)
+
+        mask = fill_holes(mask, seed="corner")
+        mask = erode(mask, 3)
+
+        st["t"] = t + 1
+        st["prev_blue"] = blue
+        bg = jnp.zeros(frame.shape, jnp.uint8)
+        return st, mask, bg
