@@ -35,13 +35,14 @@ def main():
     algo = _flagship()
     h, w, c = 720, 1280, 3
     t_chunk = int(os.environ.get("BENCH_CHUNK", "16"))
-    streams = int(os.environ.get("BENCH_STREAMS", "2"))
+    streams = int(os.environ.get("BENCH_STREAMS", "1"))
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
         rng.integers(0, 256, (t_chunk, streams, h, w, c), dtype=np.uint8)
     )
     state0 = jax.vmap(lambda _: algo.init(h, w, c))(jnp.arange(streams))
+    state0 = jax.jit(jax.vmap(algo.warm_start))(state0, frames[0])
 
     body = jax.vmap(make_step_fn(algo))
 

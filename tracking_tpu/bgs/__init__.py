@@ -19,4 +19,5 @@ import tracking_tpu.bgs.multilayer  # noqa: F401
 import tracking_tpu.bgs.shrink  # noqa: F401
 import tracking_tpu.bgs.multicue  # noqa: F401
 import tracking_tpu.bgs.lbp_mrf  # noqa: F401
+import tracking_tpu.bgs.subsense_shrink  # noqa: F401
 import tracking_tpu.bgs.fuzzy  # noqa: F401

@@ -48,6 +48,17 @@ class BGSAlgorithm:
     def init(self, h: int, w: int, c: int = 3) -> State:
         raise NotImplementedError
 
+    def warm_start(self, state: State, frame: jnp.ndarray) -> State:
+        """One-time model seeding from the first frame (the reference's
+        first-frame ``initialize()``/``refreshModel(1.0)`` paths).
+
+        Hoisted out of ``step`` so a ``lax.cond`` on the frame counter never
+        degenerates into running the seeding graph every frame when ``step``
+        is vmapped over streams (vmap turns cond into select). ``run_video``
+        calls it automatically on fresh states; call it yourself before
+        driving ``step`` directly. Default: no-op."""
+        return state
+
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         raise NotImplementedError
 

@@ -118,16 +118,14 @@ def _roi_mask(h: int, w: int) -> np.ndarray:
     return roi
 
 
-def _sample_positions(key, h, w):
-    """Random 7×7-gaussian-weighted positions around each pixel
-    (getRandSamplePosition, RandUtils.h:28-48). Returns (ys, xs) [H, W]."""
-    r = jax.random.randint(key, (h, w), 1, _INIT_TOT + 1)
-    flat_idx = jnp.clip(jnp.searchsorted(jnp.asarray(_INIT_CDF), r), 0, 48)
-    dy = jnp.asarray(_INIT_DY)[flat_idx]
-    dx = jnp.asarray(_INIT_DX)[flat_idx]
-    ys = jnp.arange(h)[:, None] + dy
-    xs = jnp.arange(w)[None, :] + dx
-    return _clamp_coords(ys, xs, h, w, lbsp.BORDER)
+def _sample_offset_field(key, shape):
+    """Random 7×7-gaussian-weighted offset index per pixel
+    (getRandSamplePosition, RandUtils.h:28-48): inverse-CDF draw, returned as
+    flat pattern indices 0..48 (no gathers: the 49-entry searchsorted is a
+    compare-sum)."""
+    r = jax.random.randint(key, shape, 1, _INIT_TOT + 1)
+    cdf = jnp.asarray(_INIT_CDF).reshape((49,) + (1,) * len(shape))
+    return jnp.clip(jnp.sum(r[None] > cdf, axis=0), 0, 48)
 
 
 def _refresh_samples(key, n_samples, n_refresh, start, last_color, last_desc, ok_mask, colors, descs):
@@ -136,24 +134,44 @@ def _refresh_samples(key, n_samples, n_refresh, start, last_color, last_desc, ok
     last_color/last_desc: C-tuples of [H, W]; colors/descs: C-tuples of
     [N, H, W]. Refreshes slots [start, start+n_refresh) mod N from random
     gaussian-weighted nearby positions whose ok_mask also holds.
+
+    Implemented gather-free: a per-(slot, pixel) offset-index draw selects
+    among the 49 statically shifted source maps. The earlier per-slot
+    ``.at[slot].set`` + advanced-indexing chain materialized hundreds of full
+    bank copies once vmap-over-streams turned the enclosing ``lax.cond`` into
+    a select, killing the TPU worker.
     """
     h, w = ok_mask.shape
-    C = len(colors)
-    keys = jax.random.split(key, n_refresh)
-    colors = list(colors)
-    descs = list(descs)
-    for i in range(n_refresh):
-        ys, xs = _sample_positions(keys[i], h, w)
-        src_ok = ok_mask[ys, xs] & ok_mask
-        slot = (start + i) % n_samples
-        for c in range(C):
-            colors[c] = colors[c].at[slot].set(
-                jnp.where(src_ok, last_color[c][ys, xs], colors[c][slot])
-            )
-            descs[c] = descs[c].at[slot].set(
-                jnp.where(src_ok, last_desc[c][ys, xs], descs[c][slot])
-            )
-    return tuple(colors), tuple(descs)
+    N = n_samples
+    idx = _sample_offset_field(key, (n_refresh, h, w))  # [R, H, W] ∈ 0..48
+    slots = jnp.arange(N)
+
+    srcs = tuple(last_color) + tuple(last_desc)
+    picked = [jnp.zeros((n_refresh, h, w), s.dtype) for s in srcs]
+    ok_p = jnp.zeros((n_refresh, h, w), bool)
+    for k in range(49):
+        dy, dx = int(_INIT_DY[k]), int(_INIT_DX[k])
+        sel = idx == k
+        # NOTE: the reference's getRandSamplePosition ADDS the offset
+        # (sample at p + d); _shift_clamped realizes img[p + d] via −d
+        for i, s in enumerate(srcs):
+            picked[i] = jnp.where(sel, _shift_clamped(s, -dy, -dx)[None], picked[i])
+        ok_p = jnp.where(sel, _shift_clamped(ok_mask, -dy, -dx)[None], ok_p)
+    ok_all = ok_p & ok_mask[None]
+
+    def apply(bank, src):
+        # per-draw slot select (no gather): R is small (5 or N)
+        out = bank
+        for r in range(n_refresh):
+            slot_mask = slots == ((start + r) % N)
+            cond = slot_mask[:, None, None] & ok_all[r][None]
+            out = jnp.where(cond, src[r][None], out)
+        return out
+
+    C = len(last_color)
+    new_colors = tuple(apply(colors[c], picked[c]) for c in range(C))
+    new_descs = tuple(apply(descs[c], picked[C + c]) for c in range(len(descs)))
+    return new_colors, new_descs
 
 
 def _intra_descriptor(planes, thr_fn):
@@ -182,16 +200,20 @@ def _inter_dist_1ch(nb, bg_color, bg_desc, thr_fn):
 
 
 def _shift_clamped(img: jnp.ndarray, dy: int, dx: int, border: int = lbsp.BORDER):
-    """S(y, x) = img[clip(y−dy, border, H−border−1), clip(x−dx, …)] for static
-    |dy|,|dx| ≤ border — an edge-mode pad of the de-bordered crop (pure data
-    movement; no gather)."""
+    """S(y, x) = img[clip(y−dy, border, H−border−1), clip(x−dx, …)] for any
+    static |dy|,|dx| — an edge-mode pad (+slice when the shift exceeds the
+    border) of the de-bordered crop. Pure data movement; no gather."""
     h, w = img.shape[-2], img.shape[-1]
     crop = img[..., border : h - border, border : w - border]
+    pt, pb = border + dy, border - dy
+    pl, pr = border + dx, border - dx
     pad = [(0, 0)] * (img.ndim - 2) + [
-        (border + dy, border - dy),
-        (border + dx, border - dx),
+        (max(pt, 0), max(pb, 0)),
+        (max(pl, 0), max(pr, 0)),
     ]
-    return jnp.pad(crop, pad, mode="edge")
+    x = jnp.pad(crop, pad, mode="edge")
+    ys, xs = max(-pt, 0), max(-pl, 0)
+    return x[..., ys : ys + h, xs : xs + w]
 
 
 def _pick_neighbor(o_idx: jnp.ndarray, offsets: np.ndarray, arrays):
@@ -275,6 +297,19 @@ class LOBSTER(BGSAlgorithm):
             "last_final": jnp.zeros((h, w), jnp.uint8),
         }
 
+    def warm_start(self, state: State, frame: jnp.ndarray) -> State:
+        """initialize + refreshModel(1.0) (wrapper LOBSTER.cpp:28-36)."""
+        cfg = self.config
+        planes, _ = _to_planes(frame)
+        h, w = planes[0].shape
+        intra_desc, _ = _intra_descriptor(planes, self._thr_fn(len(planes)))
+        key, sub = jax.random.split(state["key"])
+        colors, descs = _refresh_samples(
+            sub, cfg.nBGSamples, cfg.nBGSamples, 0, planes, intra_desc,
+            jnp.ones((h, w), bool), state["colors"], state["descs"],
+        )
+        return dict(state, key=key, colors=colors, descs=descs)
+
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         cfg = self.config
         N = cfg.nBGSamples
@@ -289,16 +324,7 @@ class LOBSTER(BGSAlgorithm):
         new_key = keys[0]
 
         intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
-
-        # first frame: initialize + refreshModel(1.0) (wrapper LOBSTER.cpp:28-36)
-        colors, descs = jax.lax.cond(
-            t == 0,
-            lambda cd: _refresh_samples(
-                keys[1], N, N, 0, planes, intra_desc, jnp.ones((h, w), bool), *cd
-            ),
-            lambda cd: cd,
-            (state["colors"], state["descs"]),
-        )
+        colors, descs = state["colors"], state["descs"]
 
         # -- sample consensus (BackgroundSubtractorLOBSTER.cpp:191-262) ------
         if c == 1:
@@ -497,10 +523,29 @@ class SuBSENSE(BGSAlgorithm):
             "lr_upper": jnp.asarray(t_upper, jnp.float32),
         }
 
+    def warm_start(self, state: State, frame: jnp.ndarray) -> State:
+        """initialize() + refreshModel(1.0) (:206-247)."""
+        cfg = self.config
+        planes, _ = _to_planes(frame)
+        h, w = planes[0].shape
+        thr_fn = self._thr_fn(len(planes), state["lut_delta"])
+        intra_desc, _ = _intra_descriptor(planes, thr_fn)
+        key, sub = jax.random.split(state["key"])
+        colors, descs = _refresh_samples(
+            sub, cfg.nBGSamples, cfg.nBGSamples, 0, planes, intra_desc,
+            jnp.ones((h, w), bool), state["colors"], state["descs"],
+        )
+        return dict(state, key=key, colors=colors, descs=descs)
+
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         cfg = self.config
         N = cfg.nBGSamples
-        required = cfg.nRequiredBGSamples
+        # per-pixel required-sample map hook: subsenseShrink raises the
+        # requirement by 5 where its shrink-box mask fires
+        # (ustc_src/.../subsenseshrink.cpp:242-248)
+        required = cfg.nRequiredBGSamples + state.get(
+            "shrink_req_offset", jnp.zeros((), jnp.int32)
+        )
         planes, was_gray = _to_planes(frame)
         c = len(planes)
         h, w = planes[0].shape
@@ -529,15 +574,7 @@ class SuBSENSE(BGSAlgorithm):
             jnp.where(t == 0, intra_desc[ci], state["last_desc"][ci]) for ci in range(c)
         )
 
-        # first frame: initialize() + refreshModel(1.0) (:206-247)
-        colors, descs = jax.lax.cond(
-            t == 0,
-            lambda cd: _refresh_samples(
-                keys[1], N, N, 0, planes, intra_desc, jnp.ones((h, w), bool), *cd
-            ),
-            lambda cd: cd,
-            (state["colors"], state["descs"]),
-        )
+        colors, descs = state["colors"], state["descs"]
 
         # -- thresholds (old unstable mask; :327-328) ------------------------
         R = state["R"]

@@ -43,7 +43,7 @@ from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
 from tracking_tpu.bgs.lbsp_family import (
     _NB3,
     _pick_neighbor,
-    _sample_positions,
+    _refresh_samples,
 )
 from tracking_tpu.core.config import BGSConfig
 from tracking_tpu.core.registry import register
@@ -100,6 +100,20 @@ class ShrinkBGS(BGSAlgorithm):
             "lr": jnp.asarray(0.05, jnp.float32),
         }
 
+    def warm_start(self, state: State, frame: jnp.ndarray) -> State:
+        """refreshModel(1.0, force): every slot from a gaussian-weighted
+        nearby position (shrinkbgs.cpp:193-230)."""
+        cfg = self.config
+        f3 = frame if frame.ndim == 3 else jnp.repeat(frame[..., None], 3, -1)
+        h, w = f3.shape[:2]
+        planes = tuple(f3[..., c] for c in range(3))
+        key, sub = jax.random.split(state["key"])
+        samples, _ = _refresh_samples(
+            sub, cfg.SampleNum, cfg.SampleNum, 0, planes, (),
+            jnp.ones((h, w), bool), state["samples"], (),
+        )
+        return dict(state, key=key, samples=samples)
+
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         cfg = self.config
         N = cfg.SampleNum
@@ -108,21 +122,7 @@ class ShrinkBGS(BGSAlgorithm):
         planes = tuple(f3[..., c] for c in range(3))
         t = state["t"]
         keys = jax.random.split(state["key"], 8)
-
-        # first frame: refreshModel(1.0) — every slot from a gaussian-weighted
-        # nearby position (shrinkbgs.cpp:193-230)
-        def refresh(samples):
-            cols = list(samples)
-            rkeys = jax.random.split(keys[1], N)
-            for i in range(N):
-                ys, xs = _sample_positions(rkeys[i], h, w)
-                for c in range(3):
-                    cols[c] = cols[c].at[i].set(planes[c][ys, xs])
-            return tuple(cols)
-
-        samples = jax.lax.cond(
-            t == 0, refresh, lambda s: s, state["samples"]
-        )
+        samples = state["samples"]
 
         # -- consensus (getRawForegroundMask) ---------------------------------
         dist_thr = state["dist_thr"]

@@ -78,6 +78,7 @@ def run_video_batch(algo, frames: jnp.ndarray, states=None, mesh: Optional[Mesh]
     c = frames.shape[4] if frames.ndim == 5 else 1
     if states is None:
         states = jax.vmap(lambda _: algo.init(h, w, c))(jnp.arange(b))
+        states = jax.jit(jax.vmap(algo.warm_start))(states, frames[:, 0])
 
     body = make_step_fn(algo, with_background=False)
 

@@ -135,6 +135,7 @@ def tracking_run(argv=None):
             h, w = chunk.shape[1:3]
             frame_hw = (h, w)
             bgs_state = algo.init(h, w, chunk.shape[3] if chunk.ndim == 4 else 1)
+            bgs_state = jax.jit(algo.warm_start)(bgs_state, jnp.asarray(chunk[0]))
         bgs_state, trk_state, fgs, tracks = run_chunk(
             bgs_state, trk_state, jnp.asarray(chunk)
         )

@@ -84,6 +84,13 @@ class FrameProcessor:
     def init(self, h: int, w: int, c: int = 3) -> Dict[str, object]:
         return {name: a.init(h, w, c) for name, a in self.algorithms.items()}
 
+    def warm_start(self, states, frame):
+        prepped = self.pre.process(frame)
+        return {
+            name: a.warm_start(states[name], prepped)
+            for name, a in self.algorithms.items()
+        }
+
     def step(self, states, frame) -> Tuple[Dict[str, object], Dict[str, jnp.ndarray]]:
         prepped = self.pre.process(frame)
         new_states, masks = {}, {}
@@ -97,6 +104,7 @@ class FrameProcessor:
         c = frames.shape[3] if frames.ndim == 4 else 1
         if states is None:
             states = self.init(h, w, c)
+            states = jax.jit(self.warm_start)(states, frames[0])
 
         @jax.jit
         def scan(states, frames):

@@ -57,4 +57,10 @@ def run_video(
         h, w = frames.shape[1], frames.shape[2]
         c = frames.shape[3] if frames.ndim == 4 else 1
         state = algo.init(h, w, c)
+        state = _warm(algo, state, frames[0])
     return _scan_chunk(algo, state, frames, with_background, unroll)
+
+
+@partial(jax.jit, static_argnames=("algo",))
+def _warm(algo, state, first_frame):
+    return algo.warm_start(state, first_frame)
