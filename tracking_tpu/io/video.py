@@ -48,7 +48,17 @@ class VideoSource:
         return frame
 
     def chunks(self, chunk_size: int = 64, max_frames: int = 0) -> Iterator[np.ndarray]:
-        """Yield [T≤chunk_size, H, W, 3] u8 BGR chunks."""
+        """Yield [T≤chunk_size, H, W, 3] u8 BGR chunks.
+
+        File sources prefer the native C++ decode/prefetch pipeline
+        (tracking_tpu.native: FFmpeg on a background thread, bit-identical to
+        cv2's output) so decode overlaps device compute; cameras and
+        environments without the native lib fall back to cv2."""
+        if self.input_file:
+            it = self._native_chunks(chunk_size, max_frames)
+            if it is not None:
+                yield from it
+                return
         if cv2 is None:
             raise RuntimeError("cv2 is required for video decode")
         cap = (
@@ -75,6 +85,66 @@ class VideoSource:
                 yield np.stack(buf)
         finally:
             cap.release()
+
+
+    def _native_chunks(self, chunk_size: int, max_frames: int):
+        """Iterator over chunks from the native pipeline, or None."""
+        import ctypes
+
+        from tracking_tpu import native
+
+        lib = native.load()
+        if lib is None:
+            return None
+        handle = lib.vio_open(
+            self.input_file.encode(), 0, 0, 1 if self.enable_flip else 0
+        )
+        if not handle:
+            return None
+
+        def gen():
+            w = ctypes.c_int()
+            h = ctypes.c_int()
+            fps = ctypes.c_double()
+            lib.vio_info(handle, ctypes.byref(w), ctypes.byref(h), ctypes.byref(fps))
+            n = 0
+            try:
+                while True:
+                    want = chunk_size
+                    if max_frames:
+                        want = min(want, max_frames - n)
+                        if want <= 0:
+                            break
+                    buf = np.empty((want, h.value, w.value, 3), np.uint8)
+                    got = lib.vio_read_batch(
+                        handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), want
+                    )
+                    if got <= 0:
+                        break
+                    n += got
+                    chunk = buf[:got]
+                    if self.resize_factor != 1.0 or self.roi is not None:
+                        chunk = np.stack(
+                            [self._prep_no_flip(f) for f in chunk]
+                        )
+                    yield chunk
+                    if got < want:
+                        break
+            finally:
+                lib.vio_close(handle)
+
+        return gen()
+
+    def _prep_no_flip(self, frame: np.ndarray) -> np.ndarray:
+        """resize/roi only (the native pipeline already applied the flip)."""
+        if self.resize_factor != 1.0:
+            w = int(frame.shape[1] * self.resize_factor)
+            h = int(frame.shape[0] * self.resize_factor)
+            frame = cv2.resize(frame, (w, h), interpolation=cv2.INTER_LINEAR)
+        if self.roi is not None:
+            x0, y0, x1, y1 = self.roi
+            frame = frame[y0:y1, x0:x1]
+        return frame
 
 
 def read_video(path: str, max_frames: int = 0, gray: bool = False) -> np.ndarray:
