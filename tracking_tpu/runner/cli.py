@@ -200,5 +200,16 @@ def tracking_run(argv=None):
     return 0
 
 
+def main(argv=None):
+    """Dispatch: ``python -m tracking_tpu.runner.cli {bgs-run|tracking-run} …``."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in ("bgs-run", "bgs"):
+        return bgs_run(argv[1:])
+    if argv and argv[0] in ("tracking-run", "tracking"):
+        return tracking_run(argv[1:])
+    print("usage: python -m tracking_tpu.runner.cli {bgs-run|tracking-run} ...")
+    return 2
+
+
 if __name__ == "__main__":
-    sys.exit(tracking_run())
+    sys.exit(main())
