@@ -1,0 +1,93 @@
+"""Pallas fused consensus vs the XLA scan formulation (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tracking_tpu.bgs import lbsp_family as LF
+from tracking_tpu.ops import lbsp
+from tracking_tpu.ops.pallas_consensus import consensus_pallas
+
+
+def _thr_fn(delta, rel, div, hi):
+    def thr(v):
+        vv = v.astype(jnp.float32)
+        base = jnp.clip(jnp.rint(vv * rel / div), 0, 255)
+        lo = jnp.ceil(vv * rel / 4.0)
+        return jnp.clip(
+            base + delta.astype(jnp.float32),
+            jnp.minimum(base, lo),
+            jnp.maximum(base, hi),
+        ).astype(jnp.int32)
+
+    return thr
+
+
+@pytest.mark.parametrize("C,delta_v", [(1, 0), (3, 0), (3, -3), (3, 5)])
+def test_pallas_consensus_matches_xla(C, delta_v):
+    rng = np.random.default_rng(C + delta_v)
+    H, W, N = 24, 40, 9
+    planes = tuple(
+        jnp.asarray(rng.integers(0, 256, (H, W), np.uint8)) for _ in range(C)
+    )
+    colors = tuple(
+        jnp.asarray(rng.integers(0, 256, (N, H, W), np.uint8)) for _ in range(C)
+    )
+    descs = tuple(
+        jnp.asarray(rng.integers(0, 65536, (N, H, W)).astype(np.uint16))
+        for _ in range(C)
+    )
+    delta = jnp.asarray(delta_v, jnp.int32)
+    rel, div = 0.333, (3.0 if C == 1 else 1.0)
+    hi = float(np.rint(255 * rel))
+    thr_fn = _thr_fn(delta, rel, div, hi)
+    intra, nb = LF._intra_descriptor(planes, thr_fn)
+    color_thr = jnp.asarray(rng.integers(10, 60, (H, W)).astype(np.int32))
+    desc_thr = jnp.asarray(rng.integers(2, 9, (H, W)).astype(np.int32))
+    required = 2
+
+    # XLA reference (mirrors the SuBSENSE step's consensus_body)
+    def body(carry, sd):
+        count, mind, mins = carry
+        s_colors, s_descs = sd
+        cd, dd = [], []
+        for ci in range(C):
+            cdist = jnp.abs(
+                planes[ci].astype(jnp.int16) - s_colors[ci].astype(jnp.int16)
+            ).astype(jnp.int32)
+            intra_d = lbsp.popcount16(jnp.bitwise_xor(intra[ci], s_descs[ci]))
+            inter_d = LF._inter_dist_1ch(nb[ci], s_colors[ci], s_descs[ci], thr_fn)
+            cd.append(cdist)
+            dd.append((intra_d + inter_d) // 2)
+        if C == 1:
+            sum_d = jnp.minimum((dd[0] // 4) * 15 + cd[0], 255)
+            good = (cd[0] <= color_thr) & (dd[0] <= desc_thr) & (sum_d <= color_thr)
+            td, ts = dd[0], sum_d
+        else:
+            sum_c = [jnp.minimum((dd[ci] // 2) * 15 + cd[ci], 255) for ci in range(C)]
+            sc = (color_thr * 3) // 2
+            ok = jnp.ones((H, W), bool)
+            for ci in range(C):
+                ok &= (cd[ci] <= sc) & (sum_c[ci] <= sc)
+            td, ts = sum(dd), sum(sum_c)
+            good = ok & (td <= desc_thr * 3) & (ts <= color_thr * 3)
+        live = good & (count < required)
+        mind = jnp.where(live, jnp.minimum(mind, td), mind)
+        mins = jnp.where(live, jnp.minimum(mins, ts), mins)
+        return (count + live.astype(jnp.int32), mind, mins), None
+
+    c0 = (
+        jnp.zeros((H, W), jnp.int32),
+        jnp.full((H, W), 16 * C, jnp.int32),
+        jnp.full((H, W), 255 * C, jnp.int32),
+    )
+    (cnt_x, mind_x, mins_x), _ = jax.lax.scan(body, c0, (colors, descs))
+
+    cnt_p, mind_p, mins_p = consensus_pallas(
+        planes, nb, intra, colors, descs, delta, color_thr, desc_thr,
+        required=required, rel=rel, div=div, hi_const=hi, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
+    np.testing.assert_array_equal(np.asarray(mind_x), np.asarray(mind_p))
+    np.testing.assert_array_equal(np.asarray(mins_x), np.asarray(mins_p))

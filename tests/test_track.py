@@ -101,3 +101,68 @@ def test_recorder_and_analysis(tmp_path):
     for t in range(20):
         odd.rows.append((t, 9, 90.0 - 4 * t, 60.0 - 2 * t, 8.0, 8.0))
     assert ana.abnormality(odd)[9] > min(scores.values())
+
+
+def test_meanshift_refines_to_blob_center():
+    import jax
+    from tracking_tpu.track.meanshift import meanshift_refine, particle_refine
+
+    mask = np.zeros((80, 100), np.float32)
+    mask[30:46, 60:76] = 1.0  # blob centered at (38, 68)
+    cy, cx, mass = meanshift_refine(jnp.asarray(mask), jnp.asarray(30.0), jnp.asarray(55.0))
+    assert abs(float(cy) - 37.5) < 1.5 and abs(float(cx) - 67.5) < 1.5
+    assert float(mass) > 0
+    cy2, cx2, _ = particle_refine(
+        jnp.asarray(mask), jax.random.PRNGKey(0), jnp.asarray(25.0), jnp.asarray(50.0)
+    )
+    assert abs(float(cy2) - 37.5) < 3 and abs(float(cx2) - 67.5) < 3
+
+
+def test_backprojection_weights_template_colors():
+    from tracking_tpu.track.meanshift import backproject, color_histogram
+
+    frame = np.zeros((20, 30, 3), np.uint8)
+    frame[5:15, 10:20] = (200, 40, 40)  # object color
+    mask = np.zeros((20, 30), np.uint8)
+    mask[5:15, 10:20] = 255
+    hist = color_histogram(jnp.asarray(frame), jnp.asarray(mask))
+    bp = np.asarray(backproject(jnp.asarray(frame), hist))
+    assert bp[10, 15] > 0.5 and bp[0, 0] < 1e-6
+
+
+def test_startstop_and_trackdist_analyses():
+    from tracking_tpu.track.trajectory import (
+        StartStopAnalysis,
+        TrackDistAnalysis,
+        TrackRecorder,
+    )
+
+    rec = TrackRecorder()
+
+    class T:
+        def __init__(self, ids, x, y):
+            self.active = np.array([True])
+            self.ids = np.array(ids)
+            self.x = np.array(x)
+            self.y = np.array(y)
+            self.w = np.array([10.0])
+            self.h = np.array([10.0])
+
+    # two similar tracks + one divergent
+    for f in range(10):
+        rec.record(f, T([0], [10.0 + 5 * f], [50.0]))
+    for f in range(10):
+        rec.record(100 + f, T([1], [12.0 + 5 * f], [52.0]))
+    for f in range(10):
+        rec.record(200 + f, T([2], [60.0], [5.0 + 9 * f]))
+
+    ss = StartStopAnalysis(160, 120)
+    ss.update(rec)
+    s = ss.abnormality(rec)
+    assert set(s) == {0, 1, 2}
+
+    td = TrackDistAnalysis()
+    td.update(rec)
+    d = td.abnormality(rec)
+    assert d[0] < 5.0 and d[1] < 5.0  # mutual support
+    assert d[2] > d[0]  # the divergent track is farther from any template

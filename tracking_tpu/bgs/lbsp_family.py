@@ -636,12 +636,33 @@ class SuBSENSE(BGSAlgorithm):
             min_sum = jnp.where(live, jnp.minimum(min_sum, tot_sum), min_sum)
             return (count + live.astype(jnp.int32), min_desc, min_sum), None
 
-        carry0 = (
-            jnp.zeros((h, w), jnp.int32),
-            jnp.full((h, w), max_desc, jnp.int32),
-            jnp.full((h, w), max_color, jnp.int32),
+        # Pallas fast path: fused VMEM-resident consensus (bank bytes cross
+        # HBM once). Requires a static required-count (the subsenseShrink
+        # per-pixel offset falls back to the XLA scan) and a real TPU.
+        use_pallas = (
+            "shrink_req_offset" not in state
+            and jax.default_backend() == "tpu"
         )
-        (count, min_desc, min_sum), _ = jax.lax.scan(consensus_body, carry0, (colors, descs))
+        if use_pallas:
+            from tracking_tpu.ops.pallas_consensus import consensus_pallas
+
+            count, min_desc, min_sum = consensus_pallas(
+                planes, nb_stack, intra_desc, colors, descs,
+                state["lut_delta"], color_thr, desc_thr,
+                required=cfg.nRequiredBGSamples,
+                rel=cfg.fRelLBSPThreshold,
+                div=3.0 if c == 1 else 1.0,
+                hi_const=float(np.rint(255 * cfg.fRelLBSPThreshold)),
+            )
+        else:
+            carry0 = (
+                jnp.zeros((h, w), jnp.int32),
+                jnp.full((h, w), max_desc, jnp.int32),
+                jnp.full((h, w), max_color, jnp.int32),
+            )
+            (count, min_desc, min_sum), _ = jax.lax.scan(
+                consensus_body, carry0, (colors, descs)
+            )
         is_fg = (count < required) & roi
         raw_fg = jnp.where(is_fg, jnp.uint8(255), jnp.uint8(0))
 
@@ -684,9 +705,6 @@ class SuBSENSE(BGSAlgorithm):
 
         upd1 = upd_cd | upd_self
         slot1 = jnp.where(upd_cd, slot_cd, slot_self)
-        m1 = upd1[None] & (slot1[None] == jnp.arange(N)[:, None, None])
-        colors = tuple(jnp.where(m1, planes[ci][None], colors[ci]) for ci in range(c))
-        descs = tuple(jnp.where(m1, intra_desc[ci][None], descs[ci]) for ci in range(c))
 
         # BG neighbor spread, gather form (:387-404; see module docstring)
         n_rand = jax.random.randint(keys[6], (h, w), 0, _RMAX)
@@ -713,16 +731,27 @@ class SuBSENSE(BGSAlgorithm):
         slot3 = jax.random.randint(k8, (h, w), 0, N)
         slot5 = jax.random.randint(k10, (h, w), 0, N)
         slotn = jnp.where(ok3, slot3, slot5)
-        mn = okn[None] & (slotn[None] == jnp.arange(N)[:, None, None])
+
+        # single fused bank write: the self/cooldown update (stage 1) and the
+        # neighbor-spread write (stage 2) touch each destination pixel's own
+        # bank, so both resolve in one [N, H, W] select; the later stage wins
+        # on the rare same-slot collision (matching the sequential order).
+        slot_axis = jnp.arange(N)[:, None, None]
+        m1 = upd1[None] & (slot1[None] == slot_axis)
+        mn = okn[None] & (slotn[None] == slot_axis)
         colors = tuple(
-            jnp.where(mn, jnp.where(ok3, p3[1 + ci], p5[1 + ci])[None], colors[ci])
+            jnp.where(
+                mn,
+                jnp.where(ok3, p3[1 + ci], p5[1 + ci])[None],
+                jnp.where(m1, planes[ci][None], colors[ci]),
+            )
             for ci in range(c)
         )
         descs = tuple(
             jnp.where(
                 mn,
                 jnp.where(ok3, p3[1 + c + ci], p5[1 + c + ci])[None],
-                descs[ci],
+                jnp.where(m1, intra_desc[ci][None], descs[ci]),
             )
             for ci in range(c)
         )

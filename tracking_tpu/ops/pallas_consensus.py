@@ -1,0 +1,212 @@
+"""Pallas TPU kernel: fused SuBSENSE/LOBSTER sample-consensus.
+
+The consensus is the hot inner loop of the LBSP family
+(``pl/BackgroundSubtractorSuBSENSE.cpp:332-358``): for every pixel, walk the
+N=50 background samples computing an L1 color distance plus an LBSP
+descriptor distance (intra XOR-popcount + a 16-neighbor inter-frame
+descriptor built against the *sample's* color and threshold), and count
+"good" samples until 2 are found, tracking the minimal distances.
+
+The XLA formulation (lax.scan over the bank axis) round-trips its [H, W]
+carries and bank slices through HBM on every sample. This kernel instead
+tiles the image plane over a grid and holds a tile's entire [N, bh, bw]
+color/desc banks plus the [16, bh, bw] neighbor stack in VMEM, fusing the
+whole N-sample walk into one pass — bank bytes cross HBM exactly once.
+
+Layouts: all arrays are i32 in-kernel (Mosaic's best-supported element
+type); the caller passes u8/u16 planes widened outside (the widening fuses
+into the surrounding graph). Tiles are (bh=8, bw=512) f32-friendly blocks.
+
+Per-channel inputs (C ≤ 3 static unroll, one kernel invocation per channel
+triple): the early-exit "count < required" gating matches the reference's
+semantics exactly (later samples never update the mins once satisfied).
+Outputs: good-sample count, min total desc dist, min total sum dist.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BH, BW = 8, 256
+
+
+def _popcount16(v):
+    v = v - ((v >> 1) & 0x5555)
+    v = (v & 0x3333) + ((v >> 2) & 0x3333)
+    v = (v + (v >> 4)) & 0x0F0F
+    return (v + (v >> 8)) & 0x1F
+
+
+def _pack16(bits):
+    """[16, bh, bw] bool → i32 packed."""
+    acc = jnp.zeros(bits.shape[1:], jnp.int32)
+    for k in range(16):
+        acc = acc | (bits[k].astype(jnp.int32) << k)
+    return acc
+
+
+def _thr_closed_form(v, delta, rel, div, hi_const):
+    base = jnp.clip(jnp.rint(v.astype(jnp.float32) * rel / div), 0.0, 255.0)
+    lo = jnp.ceil(v.astype(jnp.float32) * rel / 4.0)
+    return jnp.clip(
+        base + delta, jnp.minimum(base, lo), jnp.maximum(base, hi_const)
+    ).astype(jnp.int32)
+
+
+def _make_kernel(C, N, required, rel, div, hi_const, gray_mode):
+    """Kernel body closure. Refs order:
+    [planes×C, nb×C, intra×C, colors×C, descs×C, delta, color_thr, desc_thr]
+    outputs [count, min_desc, min_sum]."""
+
+    def kernel(*refs):
+        planes = refs[0:C]
+        nbs = refs[C : 2 * C]
+        intras = refs[2 * C : 3 * C]
+        colors = refs[3 * C : 4 * C]
+        descs = refs[4 * C : 5 * C]
+        delta_ref = refs[5 * C]
+        cthr_ref = refs[5 * C + 1]
+        dthr_ref = refs[5 * C + 2]
+        count_ref, mind_ref, mins_ref = refs[5 * C + 3 :]
+
+        delta = delta_ref[0, 0].astype(jnp.float32)
+        color_thr = cthr_ref[...]
+        desc_thr = dthr_ref[...]
+        px = [planes[c][...] for c in range(C)]
+        nb = [nbs[c][...] for c in range(C)]
+        intra = [intras[c][...] for c in range(C)]
+
+        if C == 3:
+            tot_color_thr = color_thr * 3
+            tot_desc_thr = desc_thr * 3
+            sc_color_thr = tot_color_thr // 2
+
+        count = jnp.zeros((BH, BW), jnp.int32)
+        mind = jnp.full((BH, BW), 16 * C, jnp.int32)
+        mins = jnp.full((BH, BW), 255 * C, jnp.int32)
+
+        def body(j, carry):
+            count, mind, mins = carry
+            cd, dd = [], []
+            for c in range(C):
+                s_col = colors[c][j]
+                s_desc = descs[c][j]
+                cdist = jnp.abs(px[c] - s_col)
+                sthr = _thr_closed_form(s_col, delta, rel, div, hi_const)
+                bits = [
+                    (jnp.abs(nb[c][k] - s_col) > sthr) for k in range(16)
+                ]
+                inter = _pack16(jnp.stack(bits))
+                intra_d = _popcount16(intra[c] ^ s_desc)
+                inter_d = _popcount16(inter ^ s_desc)
+                cd.append(cdist)
+                dd.append((intra_d + inter_d) // 2)
+            if C == 1:
+                sum_d = jnp.minimum((dd[0] // 4) * (255 // 16) + cd[0], 255)
+                good = (cd[0] <= color_thr) & (dd[0] <= desc_thr) & (sum_d <= color_thr)
+                tot_desc, tot_sum = dd[0], sum_d
+            else:
+                sum_c = [
+                    jnp.minimum((dd[c] // 2) * (255 // 16) + cd[c], 255)
+                    for c in range(C)
+                ]
+                sc_ok = (cd[0] <= sc_color_thr) & (sum_c[0] <= sc_color_thr)
+                for c in range(1, C):
+                    sc_ok &= (cd[c] <= sc_color_thr) & (sum_c[c] <= sc_color_thr)
+                tot_desc = dd[0] + (dd[1] + dd[2] if C == 3 else 0)
+                tot_sum = sum_c[0] + (sum_c[1] + sum_c[2] if C == 3 else 0)
+                good = sc_ok & (tot_desc <= tot_desc_thr) & (tot_sum <= tot_color_thr)
+            live = good & (count < required)
+            mind = jnp.where(live, jnp.minimum(mind, tot_desc), mind)
+            mins = jnp.where(live, jnp.minimum(mins, tot_sum), mins)
+            return count + live.astype(jnp.int32), mind, mins
+
+        count, mind, mins = jax.lax.fori_loop(0, N, body, (count, mind, mins))
+        count_ref[...] = count
+        mind_ref[...] = mind
+        mins_ref[...] = mins
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("required", "rel", "div", "hi_const", "interpret"),
+)
+def consensus_pallas(
+    planes,
+    nb_stacks,
+    intra_descs,
+    colors,
+    descs,
+    lut_delta,
+    color_thr,
+    desc_thr,
+    required: int,
+    rel: float,
+    div: float,
+    hi_const: float,
+    interpret: bool = False,
+):
+    """Fused consensus. All tensor args are C-tuples:
+    planes [H, W] u8, nb_stacks [16, H, W] i16, intra_descs [H, W] u16,
+    colors/descs [N, H, W] u8/u16; color_thr/desc_thr [H, W] i32;
+    lut_delta scalar i32. Returns (count, min_desc, min_sum) i32 [H, W]."""
+    C = len(planes)
+    N = colors[0].shape[0]
+    H, W = planes[0].shape
+    ph, pw = (-H) % BH, (-W) % BW
+
+    def pad2(a):
+        return jnp.pad(a.astype(jnp.int32), ((0, ph), (0, pw)))
+
+    def pad3(a):
+        return jnp.pad(a.astype(jnp.int32), ((0, 0), (0, ph), (0, pw)))
+
+    args = (
+        tuple(pad2(p) for p in planes)
+        + tuple(pad3(n) for n in nb_stacks)
+        + tuple(pad2(i) for i in intra_descs)
+        + tuple(pad3(c) for c in colors)
+        + tuple(pad3(d) for d in descs)
+        + (lut_delta.astype(jnp.int32).reshape(1, 1),)
+        + (pad2(color_thr), pad2(desc_thr))
+    )
+
+    Hp, Wp = H + ph, W + pw
+    grid = (Hp // BH, Wp // BW)
+
+    def tile2(i, j):
+        return (i, j)
+
+    def tile3(i, j):
+        return (0, i, j)
+
+    spec2 = pl.BlockSpec((BH, BW), tile2, memory_space=pltpu.VMEM)
+    spec_nb = pl.BlockSpec((16, BH, BW), tile3, memory_space=pltpu.VMEM)
+    spec_bank = pl.BlockSpec((N, BH, BW), tile3, memory_space=pltpu.VMEM)
+    spec_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = (
+        [spec2] * C + [spec_nb] * C + [spec2] * C + [spec_bank] * C
+        + [spec_bank] * C + [spec_scalar, spec2, spec2]
+    )
+    out_shape = [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * 3
+    out_specs = [spec2] * 3
+
+    kernel = _make_kernel(C, N, required, rel, div, hi_const, C == 1)
+    count, mind, mins = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    return count[:H, :W], mind[:H, :W], mins[:H, :W]

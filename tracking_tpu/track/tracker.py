@@ -42,6 +42,8 @@ class TrackerConfig(BGSConfig):
     maxLostFrames: int = 10  # misses before a track dies
     gateDistance: float = 2.0  # association gate, in units of blob size
     candidateGate: float = 1.5  # candidate re-detection gate
+    # CCMSPF parity: resolve colliding tracks with mean-shift on the FG mask
+    useMeanShiftCollision: bool = True
 
 
 class TrackTable(NamedTuple):
@@ -160,6 +162,34 @@ class BlobTracker:
         assign, taken = self._associate(pred_pos, state.active, blob_pos, blob_ok)
         matched = assign >= 0
         z = blob_pos[jnp.clip(assign, 0, cfg.maxBlobs - 1)]
+
+        # CCMSPF collision resolution (cvCreateBlobTrackerCCMSPF,
+        # trackingMain.cpp:633): when two active tracks' predicted boxes
+        # overlap, the CC measurement is ambiguous — refine each colliding
+        # track's measurement by mean-shift over the FG mask instead.
+        if cfg.useMeanShiftCollision:
+            from tracking_tpu.track.meanshift import meanshift_refine_batch
+
+            px, py = pred_pos[:, 0], pred_pos[:, 1]
+            pw = jnp.maximum(pred_pos[:, 2], 4.0)
+            ph = jnp.maximum(pred_pos[:, 3], 4.0)
+            dx = jnp.abs(px[:, None] - px[None, :])
+            dy = jnp.abs(py[:, None] - py[None, :])
+            overlap = (
+                (dx < (pw[:, None] + pw[None, :]) / 2)
+                & (dy < (ph[:, None] + ph[None, :]) / 2)
+                & state.active[:, None]
+                & state.active[None, :]
+                & ~jnp.eye(K, dtype=bool)
+            )
+            colliding = jnp.any(overlap, axis=1) & matched
+            ms_y, ms_x, ms_mass = meanshift_refine_batch(
+                (fg_mask > 0).astype(jnp.float32), py, px
+            )
+            ms_ok = colliding & (ms_mass > 0)
+            z = z.at[:, 0].set(jnp.where(ms_ok, ms_x, z[:, 0]))
+            z = z.at[:, 1].set(jnp.where(ms_ok, ms_y, z[:, 1]))
+
         kx, kP = kalman.kalman_update(kx, kP, z, matched, self.kparams)
 
         lost = jnp.where(matched, 0, state.lost + state.active.astype(jnp.int32))

@@ -131,3 +131,75 @@ class TrajectoryAnalysis:
             nll = -np.log(p_pos[by, bx] + eps).mean() - np.log(p_vel[vby, vbx] + eps).mean()
             scores[tid] = float(nll)
         return scores
+
+
+class StartStopAnalysis:
+    """HistSS analog (``cvCreateModuleBlobTrackAnalysisHistSS``): 2-D
+    histograms over each track's start and stop positions; a track whose
+    (start, stop) pair is rare scores as abnormal."""
+
+    def __init__(self, frame_w: int, frame_h: int, bins: int = 16):
+        self.frame_w, self.frame_h, self.bins = frame_w, frame_h, bins
+        self.hist = np.zeros((bins, bins, bins, bins), np.float64)
+
+    def _bin(self, x, y):
+        bx = int(np.clip(x / self.frame_w * self.bins, 0, self.bins - 1))
+        by = int(np.clip(y / self.frame_h * self.bins, 0, self.bins - 1))
+        return bx, by
+
+    def update(self, recorder: TrackRecorder) -> None:
+        for _tid, rows in recorder.tracks_by_id().items():
+            (x0, y0) = rows[0][2], rows[0][3]
+            (x1, y1) = rows[-1][2], rows[-1][3]
+            b = self._bin(x0, y0) + self._bin(x1, y1)
+            self.hist[b] += 1
+
+    def abnormality(self, recorder: TrackRecorder) -> Dict[int, float]:
+        p = self.hist / max(self.hist.sum(), 1)
+        out: Dict[int, float] = {}
+        for tid, rows in recorder.tracks_by_id().items():
+            b = self._bin(rows[0][2], rows[0][3]) + self._bin(rows[-1][2], rows[-1][3])
+            out[tid] = float(-np.log(p[b] + 1e-9))
+        return out
+
+
+class TrackDistAnalysis:
+    """TrackDist analog (``cvCreateModuleBlobTrackAnalysisTrackDist``):
+    a track is normal when a previously-seen track follows a similar path —
+    score = distance to the nearest stored trajectory (resampled to a fixed
+    number of waypoints, mean Euclidean)."""
+
+    def __init__(self, n_points: int = 16):
+        self.n = n_points
+        self.templates: List[np.ndarray] = []
+
+    def _resample(self, rows) -> np.ndarray:
+        arr = np.array([(x, y) for (_f, _i, x, y, _w, _h) in rows], np.float64)
+        if len(arr) == 1:
+            return np.repeat(arr, self.n, axis=0)
+        t = np.linspace(0, len(arr) - 1, self.n)
+        i0 = np.floor(t).astype(int)
+        i1 = np.minimum(i0 + 1, len(arr) - 1)
+        w = (t - i0)[:, None]
+        return arr[i0] * (1 - w) + arr[i1] * w
+
+    def update(self, recorder: TrackRecorder) -> None:
+        for _tid, rows in recorder.tracks_by_id().items():
+            if len(rows) >= 2:
+                self.templates.append(self._resample(rows))
+
+    def abnormality(self, recorder: TrackRecorder) -> Dict[int, float]:
+        out: Dict[int, float] = {}
+        for tid, rows in recorder.tracks_by_id().items():
+            q = self._resample(rows)
+            if not self.templates:
+                out[tid] = 0.0
+                continue
+            dists = [
+                float(np.linalg.norm(q - t, axis=1).mean()) for t in self.templates
+            ]
+            # skip the self-match (distance 0) when the track is stored
+            dists = sorted(dists)
+            d = dists[1] if len(dists) > 1 and dists[0] < 1e-9 else dists[0]
+            out[tid] = d
+        return out
