@@ -61,6 +61,42 @@ class PreProcessor:
             out = gaussian_blur(out, 7, 1.5)
         return out
 
+    @staticmethod
+    def rotate(frame: jnp.ndarray, angle_deg: float) -> jnp.ndarray:
+        """Parity with the reference's (unused) ``PreProcessor::rotate``
+        (``PreProcessor.cpp:79-104``, cvWarpAffine about the image center):
+        bilinear rotation, zero-filled outside. Device-side via one
+        coordinate-transform resample."""
+        import numpy as np
+
+        h, w = frame.shape[0], frame.shape[1]
+        th = np.deg2rad(-angle_deg)  # cv2DRotationMatrix angle convention
+        c, s = np.cos(th), np.sin(th)
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        # inverse map (destination → source)
+        sx = c * (xx - cx) + s * (yy - cy) + cx
+        sy = -s * (xx - cx) + c * (yy - cy) + cy
+        x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
+        y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
+        x1 = jnp.clip(x0 + 1, 0, w - 1)
+        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        fx = jnp.clip(sx - x0, 0.0, 1.0)
+        fy = jnp.clip(sy - y0, 0.0, 1.0)
+        f = frame.astype(jnp.float32)
+        if frame.ndim == 3:
+            fx, fy = fx[..., None], fy[..., None]
+        v = (
+            f[y0, x0] * (1 - fx) * (1 - fy)
+            + f[y0, x1] * fx * (1 - fy)
+            + f[y1, x0] * (1 - fx) * fy
+            + f[y1, x1] * fx * fy
+        )
+        inside = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+        if frame.ndim == 3:
+            inside = inside[..., None]
+        return jnp.where(inside, jnp.rint(v), 0).astype(frame.dtype)
+
 
 class FrameProcessor:
     """Fan-out of N enabled BGS algorithms over one shared video pass.
