@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BH, BW = 8, 256
+BH, BW = 8, 512
 
 
 def _popcount16(v):

@@ -51,18 +51,35 @@ def bgs_run(argv=None):
     p.add_argument("--output", "-o", default=None, help="write fg mask video")
     p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--max_frames", type=int, default=0)
+    p.add_argument(
+        "--frames_dir", default=None,
+        help="Demo2 parity: read a '<n>.png' image sequence instead of a video",
+    )
     args = p.parse_args(argv)
 
-    src = VideoSource(
-        input_file=args.filename if (args.use_file or args.filename) else None,
-        camera_index=args.camera if args.use_cam else None,
-    )
+    if args.frames_dir:
+        from tracking_tpu.io.video import read_frame_dir
+
+        seq = read_frame_dir(args.frames_dir)
+
+        def _chunks():
+            lim = args.max_frames or len(seq)
+            for i in range(0, min(len(seq), lim), args.chunk):
+                yield seq[i : i + args.chunk]
+
+        chunk_iter = _chunks()
+    else:
+        src = VideoSource(
+            input_file=args.filename if (args.use_file or args.filename) else None,
+            camera_index=args.camera if args.use_cam else None,
+        )
+        chunk_iter = src.chunks(args.chunk, max_frames=args.max_frames)
     algo = get_algorithm(args.algorithm)()
     state = None
     out = None
     n = 0
     t0 = time.perf_counter()
-    for chunk in src.chunks(args.chunk, max_frames=args.max_frames):
+    for chunk in chunk_iter:
         state, masks = run_video(algo, jnp.asarray(chunk), state=state)
         masks = np.asarray(masks)
         for i, m in enumerate(masks):
