@@ -104,13 +104,6 @@ _NB5 = np.array(
 _RMAX = 1 << 30
 
 
-def _clamp_coords(ys, xs, h, w, border):
-    return (
-        jnp.clip(ys, border, h - border - 1),
-        jnp.clip(xs, border, w - border - 1),
-    )
-
-
 def _roi_mask(h: int, w: int) -> np.ndarray:
     """LBSP ROI: excludes the 2-px border (LBSP::validateROI)."""
     roi = np.zeros((h, w), bool)

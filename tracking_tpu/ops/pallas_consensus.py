@@ -15,7 +15,7 @@ whole N-sample walk into one pass — bank bytes cross HBM exactly once.
 
 Layouts: all arrays are i32 in-kernel (Mosaic's best-supported element
 type); the caller passes u8/u16 planes widened outside (the widening fuses
-into the surrounding graph). Tiles are (bh=8, bw=512) f32-friendly blocks.
+into the surrounding graph). Tiles are (bh=8, bw=256) i32 blocks (measured best on v5e).
 
 Per-channel inputs (C ≤ 3 static unroll, one kernel invocation per channel
 triple): the early-exit "count < required" gating matches the reference's
@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BH, BW = 8, 512
+BH, BW = 8, 256
 
 
 def _popcount16(v):
