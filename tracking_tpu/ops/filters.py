@@ -107,9 +107,9 @@ def binary_median_blur(mask_u8: jnp.ndarray, ksize: int) -> jnp.ndarray:
     inputs (BORDER_REPLICATE padding)."""
     r = ksize // 2
     on = jnp.pad(mask_u8 > 0, ((r, r), (r, r)), mode="edge").astype(jnp.int32)
-    cnt = jax.lax.reduce_window(
-        on, 0, jax.lax.add, (ksize, ksize), (1, 1), "VALID"
-    )
+    # separable window sum: k+k adds instead of k²
+    cnt = jax.lax.reduce_window(on, 0, jax.lax.add, (ksize, 1), (1, 1), "VALID")
+    cnt = jax.lax.reduce_window(cnt, 0, jax.lax.add, (1, ksize), (1, 1), "VALID")
     return jnp.where(2 * cnt > ksize * ksize, jnp.uint8(255), jnp.uint8(0))
 
 

@@ -50,11 +50,24 @@ def _shift_reduce(img: jnp.ndarray, se: np.ndarray, reducer, pad_value) -> jnp.n
     return out
 
 
+def _separable_rect(img: jnp.ndarray, se: np.ndarray, reducer, pad_value):
+    """Full-rect SEs factor into a row pass then a column pass (kh+kw shifts
+    instead of kh·kw)."""
+    kh, kw = se.shape
+    row_se = np.ones((kh, 1), bool)
+    col_se = np.ones((1, kw), bool)
+    return _shift_reduce(
+        _shift_reduce(img, row_se, reducer, pad_value), col_se, reducer, pad_value
+    )
+
+
 def erode(img: jnp.ndarray, ksize=3, se: np.ndarray | None = None) -> jnp.ndarray:
     """Grayscale/binary erosion; border value = max (OpenCV default: border
     pixels do not erode)."""
     se = _rect_se(ksize) if se is None else se
     pad_val = 255 if img.dtype == jnp.uint8 else jnp.inf
+    if se.all() and min(se.shape) > 1:
+        return _separable_rect(img, se, jnp.minimum, pad_val)
     return _shift_reduce(img, se, jnp.minimum, pad_val)
 
 
@@ -62,6 +75,8 @@ def dilate(img: jnp.ndarray, ksize=3, se: np.ndarray | None = None) -> jnp.ndarr
     """Grayscale/binary dilation; border value = min."""
     se = _rect_se(ksize) if se is None else se
     pad_val = 0 if img.dtype == jnp.uint8 else -jnp.inf
+    if se.all() and min(se.shape) > 1:
+        return _separable_rect(img, se, jnp.maximum, pad_val)
     return _shift_reduce(img, se, jnp.maximum, pad_val)
 
 
