@@ -682,35 +682,39 @@ class SuBSENSE(BGSAlgorithm):
         raw_st = state["raw_st"] * (1 - a_st) + is_fg.astype(jnp.float32) * a_st
 
         # -- stochastic model updates (:360-405) -----------------------------
+        # `rand() % rate == 0` events become uniform-float draws u·rate < 1 —
+        # identical Bernoulli(1/rate) marginals without per-pixel integer
+        # division (slow on the VPU); the RNG is already distributional.
         lr = jnp.ceil(state["T"]).astype(jnp.int32)  # pre-feedback T(x)
+        lr_f = jnp.maximum(lr, 1).astype(jnp.float32)
         cooldown_active = state["cooldown"] > 0
 
         # FG cooldown resample (:368-372)
-        r_cd = jax.random.randint(keys[2], (h, w), 0, _RMAX)
+        u_cd = jax.random.uniform(keys[2], (h, w))
         slot_cd = jax.random.randint(keys[3], (h, w), 0, N)
-        upd_cd = is_fg & cooldown_active & (r_cd % int(FEEDBACK_T_LOWER) == 0)
+        upd_cd = is_fg & cooldown_active & (u_cd * FEEDBACK_T_LOWER < 1.0)
 
         # BG self-update (:382-386)
-        r_self = jax.random.randint(keys[4], (h, w), 0, _RMAX)
+        u_self = jax.random.uniform(keys[4], (h, w))
         slot_self = jax.random.randint(keys[5], (h, w), 0, N)
         is_bg = ~is_fg & roi
-        upd_self = is_bg & (r_self % jnp.maximum(lr, 1) == 0)
+        upd_self = is_bg & (u_self * lr_f < 1.0)
 
         upd1 = upd_cd | upd_self
         slot1 = jnp.where(upd_cd, slot_cd, slot_self)
 
         # BG neighbor spread, gather form (:387-404; see module docstring)
-        n_rand = jax.random.randint(keys[6], (h, w), 0, _RMAX)
+        u_nb = jax.random.uniform(keys[6], (h, w))
         use3_src = jnp.asarray(use3x3_global) & ~unstable
         ghost = (raw_st > GHOSTDET_S_MIN) & (mean_last < GHOSTDET_D_MAX)
-        rate3 = jnp.maximum(lr, 1)
-        rate5 = jnp.maximum(lr // 2 + 1, 1)
-        lower_cap_i = jnp.maximum(state["lr_lower"].astype(jnp.int32), 1)
+        rate3_f = lr_f
+        rate5_f = jnp.maximum(lr // 2 + 1, 1).astype(jnp.float32)
+        lower_f = jnp.maximum(state["lr_lower"], 1.0)
         src_fire3 = is_bg & use3_src & (
-            (n_rand % rate3 == 0) | (ghost & (n_rand % lower_cap_i == 0))
+            (u_nb * rate3_f < 1.0) | (ghost & (u_nb * lower_f < 1.0))
         )
         src_fire5 = is_bg & ~use3_src & (
-            (n_rand % rate5 == 0) | (ghost & (n_rand % lower_cap_i == 0))
+            (u_nb * rate5_f < 1.0) | (ghost & (u_nb * lower_f < 1.0))
         )
 
         k7, k8, k9, k10 = jax.random.split(keys[7], 4)
