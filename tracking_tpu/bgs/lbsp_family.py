@@ -733,25 +733,29 @@ class SuBSENSE(BGSAlgorithm):
         # neighbor-spread write (stage 2) touch each destination pixel's own
         # bank, so both resolve in one [N, H, W] select; the later stage wins
         # on the rare same-slot collision (matching the sequential order).
-        slot_axis = jnp.arange(N)[:, None, None]
-        m1 = upd1[None] & (slot1[None] == slot_axis)
-        mn = okn[None] & (slotn[None] == slot_axis)
-        colors = tuple(
-            jnp.where(
-                mn,
-                jnp.where(ok3, p3[1 + ci], p5[1 + ci])[None],
-                jnp.where(m1, planes[ci][None], colors[ci]),
-            )
-            for ci in range(c)
+        nb_col = tuple(jnp.where(ok3, p3[1 + ci], p5[1 + ci]) for ci in range(c))
+        nb_desc = tuple(
+            jnp.where(ok3, p3[1 + c + ci], p5[1 + c + ci]) for ci in range(c)
         )
-        descs = tuple(
-            jnp.where(
-                mn,
-                jnp.where(ok3, p3[1 + c + ci], p5[1 + c + ci])[None],
-                jnp.where(m1, intra_desc[ci][None], descs[ci]),
+        if use_pallas:
+            from tracking_tpu.ops.pallas_bank_update import bank_update_pallas
+
+            colors, descs = bank_update_pallas(
+                upd1, slot1, okn, slotn, planes, intra_desc, nb_col, nb_desc,
+                colors, descs,
             )
-            for ci in range(c)
-        )
+        else:
+            slot_axis = jnp.arange(N)[:, None, None]
+            m1 = upd1[None] & (slot1[None] == slot_axis)
+            mn = okn[None] & (slotn[None] == slot_axis)
+            colors = tuple(
+                jnp.where(mn, nb_col[ci][None], jnp.where(m1, planes[ci][None], colors[ci]))
+                for ci in range(c)
+            )
+            descs = tuple(
+                jnp.where(mn, nb_desc[ci][None], jnp.where(m1, intra_desc[ci][None], descs[ci]))
+                for ci in range(c)
+            )
 
         # -- feedback (:406-429) --------------------------------------------
         T = state["T"]

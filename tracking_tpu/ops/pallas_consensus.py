@@ -13,9 +13,10 @@ tiles the image plane over a grid and holds a tile's entire [N, bh, bw]
 color/desc banks plus the [16, bh, bw] neighbor stack in VMEM, fusing the
 whole N-sample walk into one pass — bank bytes cross HBM exactly once.
 
-Layouts: all arrays are i32 in-kernel (Mosaic's best-supported element
-type); the caller passes u8/u16 planes widened outside (the widening fuses
-into the surrounding graph). Tiles are (bh=8, bw=256) i32 blocks (measured best on v5e).
+Layouts: the [N, H, W] banks stay u8/u16 end-to-end (widening 414 MB of
+banks to i32 outside the kernel cost more than the kernel itself); they are
+cast per-tile inside VMEM. Small [H, W] planes are i32. Tiles are
+(bh=32, bw=256) — u8's minimal sublane tiling.
 
 Per-channel inputs (C ≤ 3 static unroll, one kernel invocation per channel
 triple): the early-exit "count < required" gating matches the reference's
@@ -33,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BH, BW = 8, 256
+BH, BW = 16, 256
 
 
 def _popcount16(v):
@@ -95,8 +96,8 @@ def _make_kernel(C, N, required, rel, div, hi_const, gray_mode):
             count, mind, mins = carry
             cd, dd = [], []
             for c in range(C):
-                s_col = colors[c][j]
-                s_desc = descs[c][j]
+                s_col = colors[c][j].astype(jnp.int32)
+                s_desc = descs[c][j].astype(jnp.int32) & 0xFFFF
                 cdist = jnp.abs(px[c] - s_col)
                 sthr = _thr_closed_form(s_col, delta, rel, div, hi_const)
                 bits = [
@@ -167,14 +168,14 @@ def consensus_pallas(
         return jnp.pad(a.astype(jnp.int32), ((0, ph), (0, pw)))
 
     def pad3(a):
-        return jnp.pad(a.astype(jnp.int32), ((0, 0), (0, ph), (0, pw)))
+        return jnp.pad(a, ((0, 0), (0, ph), (0, pw)))
 
     args = (
         tuple(pad2(p) for p in planes)
-        + tuple(pad3(n) for n in nb_stacks)
+        + tuple(pad3(n.astype(jnp.int32)) for n in nb_stacks)
         + tuple(pad2(i) for i in intra_descs)
-        + tuple(pad3(c) for c in colors)
-        + tuple(pad3(d) for d in descs)
+        + tuple(pad3(c) for c in colors)  # u8, native
+        + tuple(pad3(d.astype(jnp.int16)) for d in descs)  # u16→i16 bitcast-safe
         + (lut_delta.astype(jnp.int32).reshape(1, 1),)
         + (pad2(color_thr), pad2(desc_thr))
     )
