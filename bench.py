@@ -37,10 +37,24 @@ def main():
     t_chunk = int(os.environ.get("BENCH_CHUNK", "16"))
     streams = int(os.environ.get("BENCH_STREAMS", "1"))
 
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.integers(0, 256, (t_chunk, streams, h, w, c), dtype=np.uint8)
-    )
+    # Real content (the reference's own fixture, upscaled to 720p) — random
+    # noise drives the FG mask pathological and overstates post-processing.
+    ref_video = "/root/reference/dataset/video.avi"
+    if os.path.exists(ref_video):
+        import cv2
+
+        from tracking_tpu.io.video import read_video
+
+        small = read_video(ref_video, max_frames=t_chunk + 1)
+        big = np.stack([cv2.resize(f, (w, h)) for f in small[1 : t_chunk + 1]])
+        frames = jnp.asarray(
+            np.repeat(big[:, None], streams, axis=1)
+        )
+    else:
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(
+            rng.integers(0, 256, (t_chunk, streams, h, w, c), dtype=np.uint8)
+        )
     state0 = jax.vmap(lambda _: algo.init(h, w, c))(jnp.arange(streams))
     state0 = jax.jit(jax.vmap(algo.warm_start))(state0, frames[0])
 

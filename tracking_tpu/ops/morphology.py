@@ -137,17 +137,22 @@ def fill_holes(mask_u8: jnp.ndarray, seed: str = "border") -> jnp.ndarray:
     h_ax, w_ax = mask_u8.ndim - 2, mask_u8.ndim - 1
 
     def body(state):
-        reach, _ = state
+        reach, _, i = state
         r = reach
         r = r | _masked_or_scan(r, bg, w_ax, False)
         r = r | _masked_or_scan(r, bg, w_ax, True)
         r = r | _masked_or_scan(r, bg, h_ax, False)
         r = r | _masked_or_scan(r, bg, h_ax, True)
-        return r, jnp.any(r != reach)
+        return r, jnp.any(r != reach), i + 1
 
     def cond(state):
-        return state[1]
+        # cap at 32 sweeps: each sweep resolves one level of spiral nesting;
+        # natural masks converge in 1-2 (pathological noise masks would
+        # otherwise dominate the frame budget)
+        return state[1] & (state[2] < 32)
 
-    reach, _ = jax.lax.while_loop(cond, body, (reach0, jnp.array(True)))
+    reach, _, _ = jax.lax.while_loop(
+        cond, body, (reach0, jnp.array(True), jnp.zeros((), jnp.int32))
+    )
     filled = fg | ~reach
     return jnp.where(filled, jnp.uint8(255), jnp.uint8(0))
