@@ -128,7 +128,22 @@ def _make_kernel(C, N, required, rel, div, hi_const, gray_mode):
             mins = jnp.where(live, jnp.minimum(mins, tot_sum), mins)
             return count + live.astype(jnp.int32), mind, mins
 
-        count, mind, mins = jax.lax.fori_loop(0, N, body, (count, mind, mins))
+        # tile-level early exit: the reference stops per pixel after
+        # `required` good samples; in SIMD we stop when the WHOLE tile is
+        # satisfied (typical background tiles exit after a handful of the N
+        # samples). Exact: skipped samples could only have updated dead lanes.
+        def w_cond(carry):
+            j, count, _, _ = carry
+            return (j < N) & jnp.any(count < required)
+
+        def w_body(carry):
+            j, count, mind, mins = carry
+            count, mind, mins = body(j, (count, mind, mins))
+            return j + 1, count, mind, mins
+
+        _, count, mind, mins = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), count, mind, mins)
+        )
         count_ref[...] = count
         mind_ref[...] = mind
         mins_ref[...] = mins
