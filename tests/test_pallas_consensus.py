@@ -86,7 +86,7 @@ def test_pallas_consensus_matches_xla(C, delta_v):
 
     cnt_p, mind_p, mins_p = consensus_pallas(
         planes, nb, intra, colors, descs, delta, color_thr, desc_thr,
-        required=required, rel=rel, div=div, hi_const=hi, interpret=True,
+        required=jnp.asarray(required), rel=rel, div=div, hi_const=hi, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
     np.testing.assert_array_equal(np.asarray(mind_x), np.asarray(mind_p))

@@ -632,17 +632,14 @@ class SuBSENSE(BGSAlgorithm):
         # Pallas fast path: fused VMEM-resident consensus (bank bytes cross
         # HBM once). Requires a static required-count (the subsenseShrink
         # per-pixel offset falls back to the XLA scan) and a real TPU.
-        use_pallas = (
-            "shrink_req_offset" not in state
-            and jax.default_backend() == "tpu"
-        )
+        use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             from tracking_tpu.ops.pallas_consensus import consensus_pallas
 
             count, min_desc, min_sum = consensus_pallas(
                 planes, nb_stack, intra_desc, colors, descs,
                 state["lut_delta"], color_thr, desc_thr,
-                required=cfg.nRequiredBGSamples,
+                required=required,
                 rel=cfg.fRelLBSPThreshold,
                 div=3.0 if c == 1 else 1.0,
                 hi_const=float(np.rint(255 * cfg.fRelLBSPThreshold)),

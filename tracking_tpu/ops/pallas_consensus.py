@@ -60,7 +60,7 @@ def _thr_closed_form(v, delta, rel, div, hi_const):
     ).astype(jnp.int32)
 
 
-def _make_kernel(C, N, required, rel, div, hi_const, gray_mode):
+def _make_kernel(C, N, rel, div, hi_const, gray_mode):
     """Kernel body closure. Refs order:
     [planes×C, nb×C, intra×C, colors×C, descs×C, delta, color_thr, desc_thr]
     outputs [count, min_desc, min_sum]."""
@@ -74,11 +74,13 @@ def _make_kernel(C, N, required, rel, div, hi_const, gray_mode):
         delta_ref = refs[5 * C]
         cthr_ref = refs[5 * C + 1]
         dthr_ref = refs[5 * C + 2]
-        count_ref, mind_ref, mins_ref = refs[5 * C + 3 :]
+        req_ref = refs[5 * C + 3]
+        count_ref, mind_ref, mins_ref = refs[5 * C + 4 :]
 
         delta = delta_ref[0, 0].astype(jnp.float32)
         color_thr = cthr_ref[...]
         desc_thr = dthr_ref[...]
+        required = req_ref[...]
         px = [planes[c][...] for c in range(C)]
         nb = [nbs[c][...] for c in range(C)]
         intra = [intras[c][...] for c in range(C)]
@@ -153,7 +155,7 @@ def _make_kernel(C, N, required, rel, div, hi_const, gray_mode):
 
 @partial(
     jax.jit,
-    static_argnames=("required", "rel", "div", "hi_const", "interpret"),
+    static_argnames=("rel", "div", "hi_const", "interpret"),
 )
 def consensus_pallas(
     planes,
@@ -164,7 +166,7 @@ def consensus_pallas(
     lut_delta,
     color_thr,
     desc_thr,
-    required: int,
+    required,
     rel: float,
     div: float,
     hi_const: float,
@@ -173,7 +175,9 @@ def consensus_pallas(
     """Fused consensus. All tensor args are C-tuples:
     planes [H, W] u8, nb_stacks [16, H, W] i16, intra_descs [H, W] u16,
     colors/descs [N, H, W] u8/u16; color_thr/desc_thr [H, W] i32;
-    lut_delta scalar i32. Returns (count, min_desc, min_sum) i32 [H, W]."""
+    lut_delta scalar i32; required is a scalar or [H, W] i32 map (the
+    subsenseShrink per-pixel offset). Returns (count, min_desc, min_sum)
+    i32 [H, W]."""
     C = len(planes)
     N = colors[0].shape[0]
     H, W = planes[0].shape
@@ -193,6 +197,7 @@ def consensus_pallas(
         + tuple(pad3(d.astype(jnp.int16)) for d in descs)  # u16→i16 bitcast-safe
         + (lut_delta.astype(jnp.int32).reshape(1, 1),)
         + (pad2(color_thr), pad2(desc_thr))
+        + (pad2(jnp.broadcast_to(jnp.asarray(required, jnp.int32), (H, W))),)
     )
 
     Hp, Wp = H + ph, W + pw
@@ -211,12 +216,12 @@ def consensus_pallas(
 
     in_specs = (
         [spec2] * C + [spec_nb] * C + [spec2] * C + [spec_bank] * C
-        + [spec_bank] * C + [spec_scalar, spec2, spec2]
+        + [spec_bank] * C + [spec_scalar, spec2, spec2, spec2]
     )
     out_shape = [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * 3
     out_specs = [spec2] * 3
 
-    kernel = _make_kernel(C, N, required, rel, div, hi_const, C == 1)
+    kernel = _make_kernel(C, N, rel, div, hi_const, C == 1)
     count, mind, mins = pl.pallas_call(
         kernel,
         grid=grid,
