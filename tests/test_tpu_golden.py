@@ -1,0 +1,52 @@
+"""Golden C++ oracle comparison on the real TPU (exercises the Pallas path).
+
+The CPU suite validates the XLA fallback; this module validates the deployed
+fast path (Pallas consensus + aliased bank updates). Skipped automatically
+off-TPU — run manually with the axon platform active:
+
+    env PYTHONPATH=/root/.axon_site python -m pytest tests/test_tpu_golden.py -q --no-header -p no:cacheprovider
+
+(Do NOT run under tests/conftest.py's CPU pin — pytest from the repo root
+forces CPU; invoke with `-p no:cacheprovider` and JAX_PLATFORMS unset, or use
+/tmp as cwd.)
+"""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+VIDEO = "/root/reference/dataset/video.avi"
+ORACLE = os.path.join(os.path.dirname(__file__), "oracle", "subsense_oracle")
+
+
+@pytest.mark.parametrize("gray,n", [(True, 50), (False, 40)])
+def test_tpu_pallas_path_matches_reference_cpp(gray, n):
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("requires the real TPU (Pallas path)")
+    if not os.path.exists(ORACLE) or not os.path.exists(VIDEO):
+        pytest.skip("oracle binary/fixtures unavailable")
+    import cv2
+    import jax.numpy as jnp
+
+    from tracking_tpu.core.registry import get_algorithm
+    from tracking_tpu.io.video import read_video
+    from tracking_tpu.runner.scan import run_video
+
+    with tempfile.TemporaryDirectory() as tmp:
+        subprocess.run(
+            [ORACLE, "subsense", VIDEO, tmp, str(n)] + (["gray"] if gray else []),
+            check=True,
+            capture_output=True,
+        )
+        ref = np.stack(
+            [cv2.imread(os.path.join(tmp, f"mask_{i:04d}.png"), 0) for i in range(n)]
+        )
+    frames = read_video(VIDEO, max_frames=n, gray=gray)
+    _, masks = run_video(get_algorithm("subsense")(), jnp.asarray(frames))
+    agree = (np.asarray(masks) == ref).mean()
+    assert agree > 0.999, f"TPU-path agreement {agree:.5f}"
