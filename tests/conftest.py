@@ -11,16 +11,19 @@ import os
 # sitecustomize registers the axon TPU plugin and pins JAX_PLATFORMS=axon, so
 # a plain env var is not enough — override the config knob too (works as long
 # as no backend has been touched yet in this process).
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# TPU_GOLDEN=1 escapes the CPU pin so tests/test_tpu_golden.py can drive the
+# real chip (pytest loads this conftest regardless of cwd).
+if not os.environ.get("TPU_GOLDEN"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -71,3 +71,27 @@ def test_xml_import_from_reference_configs():
 
     cfg = config_from_xml(PreProcessorConfig, path)
     assert isinstance(cfg.enableShow, bool) or hasattr(cfg, "equalizeHist")
+
+
+def test_tracking_cli_savestate_loadstate(tmp_path):
+    """tracking-run --savestate/--loadstate parity (trackingMain.cpp:685-758):
+    a resumed run continues from the checkpointed BGS+tracker state."""
+    video = os.path.join(REFERENCE, "dataset", "video.avi")
+    if not os.path.exists(video):
+        pytest.skip("reference video unavailable")
+    from tracking_tpu.runner.cli import tracking_run
+
+    ck = str(tmp_path / "state")
+    log = str(tmp_path / "params.log")
+    rc = tracking_run(
+        [video, "--max_frames", "12", "--chunk", "6", "--bgs_type", "2",
+         "--quiet", "--savestate", ck, "--log", log]
+    )
+    assert rc == 0 and os.path.exists(ck)
+    assert "bgs_type=2" in open(log).read()
+    trk = str(tmp_path / "t.csv")
+    rc = tracking_run(
+        [video, "--max_frames", "12", "--chunk", "6", "--bgs_type", "2",
+         "--quiet", "--loadstate", ck, "--track", trk]
+    )
+    assert rc == 0 and os.path.exists(trk)

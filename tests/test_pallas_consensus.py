@@ -7,7 +7,10 @@ import pytest
 
 from tracking_tpu.bgs import lbsp_family as LF
 from tracking_tpu.ops import lbsp
-from tracking_tpu.ops.pallas_consensus import consensus_pallas
+from tracking_tpu.ops.pallas_consensus import (
+    consensus_lobster_pallas,
+    consensus_pallas,
+)
 
 
 def _thr_fn(delta, rel, div, hi):
@@ -91,3 +94,54 @@ def test_pallas_consensus_matches_xla(C, delta_v):
     np.testing.assert_array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
     np.testing.assert_array_equal(np.asarray(mind_x), np.asarray(mind_p))
     np.testing.assert_array_equal(np.asarray(mins_x), np.asarray(mins_p))
+
+
+@pytest.mark.parametrize("C", [1, 3])
+def test_pallas_lobster_consensus_matches_xla(C):
+    rng = np.random.default_rng(7 + C)
+    H, W, N = 24, 40, 7
+    rel, offset = 0.365, 0.0
+    div = 2.0 if C == 1 else 1.0
+    c_sc = 15 if C == 1 else 45
+    d_sc = 4 if C == 1 else 6
+    c_tot, d_tot, req = 90, 12, 2
+    planes = tuple(
+        jnp.asarray(rng.integers(0, 256, (H, W), np.uint8)) for _ in range(C)
+    )
+    colors = tuple(
+        jnp.asarray(rng.integers(0, 256, (N, H, W), np.uint8)) for _ in range(C)
+    )
+    descs = tuple(
+        jnp.asarray(rng.integers(0, 65536, (N, H, W)).astype(np.uint16))
+        for _ in range(C)
+    )
+
+    def thr_fn(v):
+        raw = (v.astype(jnp.float32) * rel + offset) / div
+        return jnp.clip(jnp.rint(raw), 0, 255).astype(jnp.int32)
+
+    _, nb = LF._intra_descriptor(planes, thr_fn)
+
+    def body(count, sd):
+        s_colors, s_descs = sd
+        cd, dd = [], []
+        for ci in range(C):
+            cd.append(
+                jnp.abs(
+                    planes[ci].astype(jnp.int16) - s_colors[ci].astype(jnp.int16)
+                ).astype(jnp.int32)
+            )
+            dd.append(LF._inter_dist_1ch(nb[ci], s_colors[ci], s_descs[ci], thr_fn))
+        good = jnp.ones((H, W), bool)
+        for ci in range(C):
+            good &= (cd[ci] <= c_sc) & (dd[ci] <= d_sc)
+        if C > 1:
+            good &= (sum(cd) <= c_tot) & (sum(dd) <= d_tot)
+        return count + (good & (count < req)).astype(jnp.int32), None
+
+    cnt_x, _ = jax.lax.scan(body, jnp.zeros((H, W), jnp.int32), (colors, descs))
+    cnt_p = consensus_lobster_pallas(
+        planes, nb, colors, descs, rel=rel, offset=offset, div=div,
+        c_sc=c_sc, d_sc=d_sc, c_tot=c_tot, d_tot=d_tot, req=req, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_x), np.asarray(cnt_p))

@@ -4,11 +4,10 @@ The CPU suite validates the XLA fallback; this module validates the deployed
 fast path (Pallas consensus + aliased bank updates). Skipped automatically
 off-TPU — run manually with the axon platform active:
 
-    env PYTHONPATH=/root/.axon_site python -m pytest tests/test_tpu_golden.py -q --no-header -p no:cacheprovider
+    env TPU_GOLDEN=1 PYTHONPATH=/root/.axon_site python -m pytest tests/test_tpu_golden.py -q --no-header -p no:cacheprovider
 
-(Do NOT run under tests/conftest.py's CPU pin — pytest from the repo root
-forces CPU; invoke with `-p no:cacheprovider` and JAX_PLATFORMS unset, or use
-/tmp as cwd.)
+(TPU_GOLDEN=1 makes tests/conftest.py skip its CPU pin — without it pytest
+forces CPU no matter the cwd and every test here skips.)
 """
 
 import os
@@ -22,8 +21,16 @@ VIDEO = "/root/reference/dataset/video.avi"
 ORACLE = os.path.join(os.path.dirname(__file__), "oracle", "subsense_oracle")
 
 
-@pytest.mark.parametrize("gray,n", [(True, 50), (False, 40)])
-def test_tpu_pallas_path_matches_reference_cpp(gray, n):
+@pytest.mark.parametrize(
+    "algo,gray,n",
+    [
+        ("subsense", True, 50),
+        ("subsense", False, 40),
+        ("lobster", True, 50),
+        ("lobster", False, 40),
+    ],
+)
+def test_tpu_pallas_path_matches_reference_cpp(algo, gray, n):
     import jax
 
     if jax.default_backend() != "tpu":
@@ -39,7 +46,7 @@ def test_tpu_pallas_path_matches_reference_cpp(gray, n):
 
     with tempfile.TemporaryDirectory() as tmp:
         subprocess.run(
-            [ORACLE, "subsense", VIDEO, tmp, str(n)] + (["gray"] if gray else []),
+            [ORACLE, algo, VIDEO, tmp, str(n)] + (["gray"] if gray else []),
             check=True,
             capture_output=True,
         )
@@ -47,6 +54,6 @@ def test_tpu_pallas_path_matches_reference_cpp(gray, n):
             [cv2.imread(os.path.join(tmp, f"mask_{i:04d}.png"), 0) for i in range(n)]
         )
     frames = read_video(VIDEO, max_frames=n, gray=gray)
-    _, masks = run_video(get_algorithm("subsense")(), jnp.asarray(frames))
+    _, masks = run_video(get_algorithm(algo)(), jnp.asarray(frames))
     agree = (np.asarray(masks) == ref).mean()
     assert agree > 0.999, f"TPU-path agreement {agree:.5f}"

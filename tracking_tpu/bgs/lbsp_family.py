@@ -352,9 +352,23 @@ class LOBSTER(BGSAlgorithm):
                 )
             return count + jnp.where(good & (count < required), 1, 0), None
 
-        count, _ = jax.lax.scan(
-            consensus_body, jnp.zeros((h, w), jnp.int32), (colors, descs)
-        )
+        use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from tracking_tpu.ops.pallas_consensus import consensus_lobster_pallas
+
+            count = consensus_lobster_pallas(
+                planes, nb_stack, colors, descs,
+                rel=cfg.fRelLBSPThreshold,
+                offset=float(cfg.nLBSPThresholdOffset),
+                div=2.0 if c == 1 else 1.0,
+                c_sc=int(color_thr_sc), d_sc=int(desc_thr_sc),
+                c_tot=int(tot_color_thr), d_tot=int(tot_desc_thr),
+                req=int(required),
+            )
+        else:
+            count, _ = jax.lax.scan(
+                consensus_body, jnp.zeros((h, w), jnp.int32), (colors, descs)
+            )
         is_bg = (count >= required) & roi
         raw_fg = jnp.where(roi & ~is_bg, jnp.uint8(255), jnp.uint8(0))
 
@@ -363,9 +377,6 @@ class LOBSTER(BGSAlgorithm):
         r_self = jax.random.randint(keys[2], (h, w), 0, _RMAX)
         slot_self = jax.random.randint(keys[3], (h, w), 0, N)
         self_upd = is_bg & (r_self % lr == 0)
-        m1 = self_upd[None] & (slot_self[None] == jnp.arange(N)[:, None, None])
-        colors = tuple(jnp.where(m1, planes[ci][None], colors[ci]) for ci in range(c))
-        descs = tuple(jnp.where(m1, intra_desc[ci][None], descs[ci]) for ci in range(c))
 
         # neighbor spread, gather form: dest p draws offset o; source q = p−o
         # passes its own 1/lr draw and BG test; p receives q's color/desc.
@@ -377,9 +388,28 @@ class LOBSTER(BGSAlgorithm):
         )
         q_ok, q_colors, q_descs = picked[0], picked[1 : 1 + c], picked[1 + c :]
         slot_nb = jax.random.randint(keys[6], (h, w), 0, N)
-        mn = q_ok[None] & (slot_nb[None] == jnp.arange(N)[:, None, None])
-        colors = tuple(jnp.where(mn, q_colors[ci][None], colors[ci]) for ci in range(c))
-        descs = tuple(jnp.where(mn, q_descs[ci][None], descs[ci]) for ci in range(c))
+        if use_pallas:
+            from tracking_tpu.ops.pallas_bank_update import bank_update_pallas
+
+            colors, descs = bank_update_pallas(
+                self_upd, slot_self, q_ok, slot_nb, planes, intra_desc,
+                q_colors, q_descs, colors, descs,
+            )
+        else:
+            m1 = self_upd[None] & (slot_self[None] == jnp.arange(N)[:, None, None])
+            colors = tuple(
+                jnp.where(m1, planes[ci][None], colors[ci]) for ci in range(c)
+            )
+            descs = tuple(
+                jnp.where(m1, intra_desc[ci][None], descs[ci]) for ci in range(c)
+            )
+            mn = q_ok[None] & (slot_nb[None] == jnp.arange(N)[:, None, None])
+            colors = tuple(
+                jnp.where(mn, q_colors[ci][None], colors[ci]) for ci in range(c)
+            )
+            descs = tuple(
+                jnp.where(mn, q_descs[ci][None], descs[ci]) for ci in range(c)
+            )
 
         # -- post-proc: median blur 9 (:287) ---------------------------------
         final = binary_median_blur(raw_fg, DEFAULT_MEDIAN_KSIZE)

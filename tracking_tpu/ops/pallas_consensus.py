@@ -231,3 +231,119 @@ def consensus_pallas(
         interpret=interpret,
     )(*args)
     return count[:H, :W], mind[:H, :W], mins[:H, :W]
+
+
+def _make_lobster_kernel(C, N, rel, offset, div, c_sc, d_sc, c_tot, d_tot, req):
+    """LOBSTER variant (``BackgroundSubtractorLOBSTER.cpp:191-262``): fixed
+    scalar thresholds, descriptor distance = inter-frame hamming only (no
+    intra average, no min tracking). Refs: [planes×C, nb×C, colors×C,
+    descs×C] → [count].
+
+    i16 in-kernel arithmetic was tried and rejected: this Mosaic/v5e
+    toolchain cannot legalize i16 vector absi/maxsi/cmpi, so everything
+    stays i32 in-register (banks are still u8/u16 in VMEM)."""
+
+    def kernel(*refs):
+        planes = refs[0:C]
+        nbs = refs[C : 2 * C]
+        colors = refs[2 * C : 3 * C]
+        descs = refs[3 * C : 4 * C]
+        count_ref = refs[4 * C]
+
+        px = [planes[c][...] for c in range(C)]
+        nb = [nbs[c][...] for c in range(C)]
+
+        def body(j, count):
+            cd, dd = [], []
+            for c in range(C):
+                s_col = colors[c][j].astype(jnp.int32)
+                s_desc = descs[c][j].astype(jnp.int32) & 0xFFFF
+                cdist = jnp.abs(px[c] - s_col)
+                raw = (s_col.astype(jnp.float32) * rel + offset) / div
+                sthr = jnp.clip(jnp.rint(raw), 0.0, 255.0).astype(jnp.int32)
+                bits = [(jnp.abs(nb[c][k] - s_col) > sthr) for k in range(16)]
+                inter = _pack16(jnp.stack(bits))
+                cd.append(cdist)
+                dd.append(_popcount16(inter ^ s_desc))
+            good = (cd[0] <= c_sc) & (dd[0] <= d_sc)
+            for c in range(1, C):
+                good &= (cd[c] <= c_sc) & (dd[c] <= d_sc)
+            if C > 1:
+                good &= (sum(cd) <= c_tot) & (sum(dd) <= d_tot)
+            return count + (good & (count < req)).astype(jnp.int32)
+
+        def w_cond(carry):
+            j, count = carry
+            return (j < N) & jnp.any(count < req)
+
+        def w_body(carry):
+            j, count = carry
+            return j + 1, body(j, count)
+
+        _, count = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), jnp.zeros((BH, BW), jnp.int32))
+        )
+        count_ref[...] = count
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "rel", "offset", "div", "c_sc", "d_sc", "c_tot", "d_tot", "req",
+        "interpret",
+    ),
+)
+def consensus_lobster_pallas(
+    planes,
+    nb_stacks,
+    colors,
+    descs,
+    rel: float,
+    offset: float,
+    div: float,
+    c_sc: int,
+    d_sc: int,
+    c_tot: int,
+    d_tot: int,
+    req: int,
+    interpret: bool = False,
+):
+    """Fused LOBSTER consensus; thresholds are compile-time constants (config
+    scalars). Tensor args are C-tuples (same layouts as ``consensus_pallas``).
+    Returns the good-sample count [H, W] i32."""
+    C = len(planes)
+    N = colors[0].shape[0]
+    H, W = planes[0].shape
+    ph, pw = (-H) % BH, (-W) % BW
+
+    def pad2(a):
+        return jnp.pad(a.astype(jnp.int32), ((0, ph), (0, pw)))
+
+    def pad3(a):
+        return jnp.pad(a, ((0, 0), (0, ph), (0, pw)))
+
+    args = (
+        tuple(pad2(p) for p in planes)
+        + tuple(pad3(n.astype(jnp.int32)) for n in nb_stacks)
+        + tuple(pad3(c) for c in colors)  # u8, native
+        + tuple(pad3(d) for d in descs)  # u16, native
+    )
+    Hp, Wp = H + ph, W + pw
+    grid = (Hp // BH, Wp // BW)
+    spec2 = pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    spec_nb = pl.BlockSpec((16, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    spec_bank = pl.BlockSpec((N, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    kernel = _make_lobster_kernel(
+        C, N, rel, offset, div, c_sc, d_sc, c_tot, d_tot, req
+    )
+    count = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec2] * C + [spec_nb] * C + [spec_bank] * C + [spec_bank] * C,
+        out_specs=[spec2],
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)],
+        interpret=interpret,
+    )(*args)[0]
+    return count[:H, :W]

@@ -119,9 +119,29 @@ def tracking_run(argv=None):
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument(
+        "--savestate", default=None,
+        help="checkpoint BGS+tracker state at end (trackingMain.cpp:685-713)",
+    )
+    p.add_argument(
+        "--loadstate", default=None,
+        help="resume BGS+tracker state from a checkpoint (trackingMain.cpp:740-758)",
+    )
+    p.add_argument(
+        "--log", default=None,
+        help="append module parameter dump to a file (print_params, trackingMain.cpp:348-380)",
+    )
     args = p.parse_args(argv)
 
     algo = get_algorithm(args.bgs_type)()
+    if args.log:
+        import dataclasses as _dc
+
+        with open(args.log, "a") as fh:
+            fh.write(f"video={args.video} bgs_type={args.bgs_type}\n")
+            fh.write(f"module: {type(algo).__name__}\n")
+            for f in _dc.fields(algo.config):
+                fh.write(f"  {f.name}={getattr(algo.config, f.name)}\n")
     tracker = BlobTracker()
     src = VideoSource(input_file=args.video)
 
@@ -152,7 +172,15 @@ def tracking_run(argv=None):
             h, w = chunk.shape[1:3]
             frame_hw = (h, w)
             bgs_state = algo.init(h, w, chunk.shape[3] if chunk.ndim == 4 else 1)
-            bgs_state = jax.jit(algo.warm_start)(bgs_state, jnp.asarray(chunk[0]))
+            if args.loadstate:
+                from tracking_tpu.core.checkpoint import load_state
+
+                restored = load_state(
+                    args.loadstate, like={"bgs": bgs_state, "trk": trk_state}
+                )
+                bgs_state, trk_state = restored["bgs"], restored["trk"]
+            else:
+                bgs_state = jax.jit(algo.warm_start)(bgs_state, jnp.asarray(chunk[0]))
         bgs_state, trk_state, fgs, tracks = run_chunk(
             bgs_state, trk_state, jnp.asarray(chunk)
         )
@@ -202,6 +230,10 @@ def tracking_run(argv=None):
     for o in (fg_out, bt_out):
         if o is not None:
             o.release()
+    if args.savestate and bgs_state is not None:
+        from tracking_tpu.core.checkpoint import save_state
+
+        save_state(args.savestate, {"bgs": bgs_state, "trk": trk_state})
     if args.track:
         if args.track.endswith(".yml") or args.track.endswith(".yaml"):
             recorder.save_yml(args.track)
