@@ -614,13 +614,6 @@ class SuBSENSE(BGSAlgorithm):
             + jnp.where(old_unstable, cfg.nDescDistThresholdOffset, 0)
         )
 
-        # new unstable mask (:331)
-        unstable = (
-            (R > UNSTABLE_REG_RDIST_MIN)
-            | ((state["raw_lt"] - state["final_lt"]) > UNSTABLE_REG_RATIO_MIN)
-            | ((state["raw_st"] - state["final_st"]) > UNSTABLE_REG_RATIO_MIN)
-        )
-
         # -- sample consensus scan (:332-357 / :468-497) ---------------------
         if c == 3:
             tot_color_thr = color_thr * 3
@@ -683,78 +676,75 @@ class SuBSENSE(BGSAlgorithm):
             (count, min_desc, min_sum), _ = jax.lax.scan(
                 consensus_body, carry0, (colors, descs)
             )
-        is_fg = (count < required) & roi
+        # -- fused feedback stage (:358-431) ----------------------------------
+        # Rolling means, stochastic update decisions, R/T/v controllers, blink
+        # bookkeeping and the nonzero-descriptor map, all in one pass
+        # (ops/pallas_feedback). Both backends slice the SAME pre-generated
+        # bit field into their draws, so CPU and TPU make bit-identical
+        # decisions. `rand() % rate == 0` events become uniform-float draws
+        # u·rate < 1 — identical Bernoulli(1/rate) marginals without
+        # per-pixel integer division (slow on the VPU).
+        # NOTE: a fused Pallas version of this stage exists
+        # (ops/pallas_feedback.feedback_pallas, parity-tested) but measured
+        # SLOWER in-context (0.81 vs 0.63 ms/frame in isolation, ~1 ms worse
+        # end-to-end): the stage is purely elementwise, XLA fuses it into
+        # the surrounding ops for free, and the pallas_call boundary forces
+        # 59 full-map HBM materializations. XLA wins; see PERF.md.
+        from tracking_tpu.ops.pallas_feedback import FeedbackConsts, feedback_xla
+
+        bits = jax.lax.bitcast_convert_type(
+            jax.random.bits(keys[2], (4, h, w), jnp.uint32), jnp.int32
+        )
+        # native dtypes throughout (u8 planes/masks, u16 descs): the kernel
+        # widens per-tile in VMEM; widening whole maps here would burn HBM
+        fb_tensors = dict(
+            count=count, mind=min_desc, mins=min_sum,
+            required=jnp.broadcast_to(jnp.asarray(required, jnp.int32), (h, w)),
+            roi=roi,
+            planes=tuple(planes),
+            intras=tuple(intra_desc),
+            last_colors=tuple(last_color),
+            last_descs=tuple(last_desc),
+            bits=tuple(bits[i] for i in range(4)),
+            mean_last=state["mean_last"], dmin_lt=state["dmin_lt"],
+            dmin_st=state["dmin_st"], raw_lt=state["raw_lt"],
+            raw_st=state["raw_st"], final_lt=state["final_lt"],
+            final_st=state["final_st"], R=state["R"], T=state["T"],
+            v=state["v"],
+            last_final=state["last_final"],  # u8 mask, 0/255
+            blinks_old=state["blinks"],
+            last_blink_mask=state["last_blink_mask"],
+            last_raw=state["last_raw"],  # u8 mask, 0/255
+            last_dil_inv=state["last_dil_inv"],
+        )
+        fb_scalars = (
+            a_lt, a_st, state["lr_lower"], state["lr_upper"], state["cooldown"]
+        )
+        consts = FeedbackConsts(
+            t_incr=FEEDBACK_T_INCR, t_decr=FEEDBACK_T_DECR,
+            t_lower=FEEDBACK_T_LOWER, v_incr=FEEDBACK_V_INCR,
+            v_decr=FEEDBACK_V_DECR, r_var=FEEDBACK_R_VAR,
+            rdist_min=UNSTABLE_REG_RDIST_MIN, ratio_min=UNSTABLE_REG_RATIO_MIN,
+            ghost_s_min=GHOSTDET_S_MIN, ghost_d_max=GHOSTDET_D_MAX,
+        )
+        fb = feedback_xla(
+            fb_tensors, fb_scalars, C=c, N=N,
+            use3x3_global=bool(use3x3_global), k=consts,
+        )
+        is_fg = fb.is_fg  # bool on the XLA path
         raw_fg = jnp.where(is_fg, jnp.uint8(255), jnp.uint8(0))
-
-        # -- rolling means (:358-380) ----------------------------------------
-        color_ld = sum(
-            jnp.abs(last_color[ci].astype(jnp.int32) - planes[ci].astype(jnp.int32))
-            for ci in range(c)
-        )
-        desc_ld = sum(
-            lbsp.popcount16(jnp.bitwise_xor(last_desc[ci], intra_desc[ci]))
-            for ci in range(c)
-        )
-        nld = (color_ld.astype(jnp.float32) / max_color + desc_ld / max_desc) / 2.0
-        mean_last = state["mean_last"] * (1 - a_st) + nld * a_st
-
-        nmd_base = (
-            min_sum.astype(jnp.float32) / max_color + min_desc.astype(jnp.float32) / max_desc
-        ) / 2.0
-        nmd_fg = jnp.minimum(1.0, nmd_base + (required - count).astype(jnp.float32) / required)
-        nmd = jnp.where(is_fg, nmd_fg, nmd_base)
-        dmin_lt = state["dmin_lt"] * (1 - a_lt) + nmd * a_lt
-        dmin_st = state["dmin_st"] * (1 - a_st) + nmd * a_st
-        raw_lt = state["raw_lt"] * (1 - a_lt) + is_fg.astype(jnp.float32) * a_lt
-        raw_st = state["raw_st"] * (1 - a_st) + is_fg.astype(jnp.float32) * a_st
-
-        # -- stochastic model updates (:360-405) -----------------------------
-        # `rand() % rate == 0` events become uniform-float draws u·rate < 1 —
-        # identical Bernoulli(1/rate) marginals without per-pixel integer
-        # division (slow on the VPU); the RNG is already distributional.
-        lr = jnp.ceil(state["T"]).astype(jnp.int32)  # pre-feedback T(x)
-        lr_f = jnp.maximum(lr, 1).astype(jnp.float32)
-        cooldown_active = state["cooldown"] > 0
-
-        # FG cooldown resample (:368-372)
-        u_cd = jax.random.uniform(keys[2], (h, w))
-        slot_cd = jax.random.randint(keys[3], (h, w), 0, N)
-        upd_cd = is_fg & cooldown_active & (u_cd * FEEDBACK_T_LOWER < 1.0)
-
-        # BG self-update (:382-386)
-        u_self = jax.random.uniform(keys[4], (h, w))
-        slot_self = jax.random.randint(keys[5], (h, w), 0, N)
-        is_bg = ~is_fg & roi
-        upd_self = is_bg & (u_self * lr_f < 1.0)
-
-        upd1 = upd_cd | upd_self
-        slot1 = jnp.where(upd_cd, slot_cd, slot_self)
+        mean_last, dmin_lt, dmin_st = fb.mean_last, fb.dmin_lt, fb.dmin_st
+        raw_lt, raw_st = fb.raw_lt, fb.raw_st
+        unstable = fb.unstable
+        upd1, slot1 = fb.upd1, fb.slot1
 
         # BG neighbor spread, gather form (:387-404; see module docstring)
-        u_nb = jax.random.uniform(keys[6], (h, w))
-        use3_src = jnp.asarray(use3x3_global) & ~unstable
-        ghost = (raw_st > GHOSTDET_S_MIN) & (mean_last < GHOSTDET_D_MAX)
-        rate3_f = lr_f
-        rate5_f = jnp.maximum(lr // 2 + 1, 1).astype(jnp.float32)
-        lower_f = jnp.maximum(state["lr_lower"], 1.0)
-        src_fire3 = is_bg & use3_src & (
-            (u_nb * rate3_f < 1.0) | (ghost & (u_nb * lower_f < 1.0))
-        )
-        src_fire5 = is_bg & ~use3_src & (
-            (u_nb * rate5_f < 1.0) | (ghost & (u_nb * lower_f < 1.0))
-        )
-
-        k7, k8, k9, k10 = jax.random.split(keys[7], 4)
         src_arrays = tuple(planes) + tuple(intra_desc)
-        o3 = jax.random.randint(k7, (h, w), 0, len(_NB3))
-        p3 = _pick_neighbor(o3, _NB3, (src_fire3,) + src_arrays)
-        o5 = jax.random.randint(k9, (h, w), 0, len(_NB5))
-        p5 = _pick_neighbor(o5, _NB5, (src_fire5,) + src_arrays)
+        p3 = _pick_neighbor(fb.o3, _NB3, (fb.fire3,) + src_arrays)
+        p5 = _pick_neighbor(fb.o5, _NB5, (fb.fire5,) + src_arrays)
         ok3, ok5 = p3[0], p5[0]
         okn = ok3 | ok5  # 3x3 takes precedence on (rare) collisions
-        slot3 = jax.random.randint(k8, (h, w), 0, N)
-        slot5 = jax.random.randint(k10, (h, w), 0, N)
-        slotn = jnp.where(ok3, slot3, slot5)
+        slotn = jnp.where(ok3, fb.slot3, fb.slot5)
 
         # single fused bank write: the self/cooldown update (stage 1) and the
         # neighbor-spread write (stage 2) touch each destination pixel's own
@@ -784,47 +774,14 @@ class SuBSENSE(BGSAlgorithm):
                 for ci in range(c)
             )
 
-        # -- feedback (:406-429) --------------------------------------------
-        T = state["T"]
-        v = state["v"]
-        dmin_max = jnp.maximum(dmin_lt, dmin_st)
-        dmin_min = jnp.minimum(dmin_lt, dmin_st)
-        last_final_fg = state["last_final"] > 0
-        t_up_cond = last_final_fg | ((dmin_min < UNSTABLE_REG_RATIO_MIN) & is_fg)
-        T_inc = T + FEEDBACK_T_INCR / (dmin_max * v)
-        T_dec = T - FEEDBACK_T_DECR * v / dmin_max
-        T = jnp.where(
-            t_up_cond,
-            jnp.where(T < state["lr_upper"], T_inc, T),
-            jnp.where(T > state["lr_lower"], T_dec, T),
-        )
-        T = jnp.clip(T, state["lr_lower"], state["lr_upper"])
-
-        v_up = (dmin_max > UNSTABLE_REG_RATIO_MIN) & state["blinks"]
-        v_dec_amt = jnp.where(
-            last_final_fg,
-            FEEDBACK_V_DECR / 4,
-            jnp.where(unstable, FEEDBACK_V_DECR / 2, FEEDBACK_V_DECR),
-        )
-        v_decd = jnp.maximum(v - v_dec_amt, FEEDBACK_V_DECR)
-        v = jnp.where(v_up, v + FEEDBACK_V_INCR, jnp.where(v > FEEDBACK_V_DECR, v_decd, v))
-
-        r_limit = jnp.square(1.0 + dmin_min * 2.0)
-        R = jnp.where(
-            R < r_limit,
-            R + FEEDBACK_R_VAR * (v - FEEDBACK_V_DECR),
-            jnp.maximum(R - FEEDBACK_R_VAR / v, 1.0),
-        )
+        # -- feedback (:406-429): fused above ---------------------------------
+        T, v, R = fb.T, fb.v, fb.R
 
         # nonzero-descriptor ratio (:430-431 / :577-578)
-        nz_thresh = 2 if c == 1 else 4
-        nz = sum(lbsp.popcount16(intra_desc[ci]) for ci in range(c)) >= nz_thresh
-        nz_ratio = jnp.sum(nz & roi).astype(jnp.float32) / n_roi_px
+        nz_ratio = jnp.sum(fb.nz & roi).astype(jnp.float32) / n_roi_px
 
         # -- post-processing (:624-642) --------------------------------------
-        last_raw_fg = state["last_raw"] > 0
-        curr_blink = is_fg != last_raw_fg  # xor of raw masks
-        blinks = curr_blink | state["last_blink_mask"]
+        curr_blink = fb.curr_blink  # xor of raw masks
         pre_flood = morph_close(raw_fg, 3)
         filled = fill_holes(pre_flood, seed="corner")
         holes = (filled > 0) & ~(pre_flood > 0)
@@ -832,9 +789,10 @@ class SuBSENSE(BGSAlgorithm):
         fg1 = jnp.where(is_fg | holes | (pre_flood_eroded > 0), jnp.uint8(255), jnp.uint8(0))
         final = binary_median_blur(fg1, median_ksize)
         final_dilated = dilate(dilate(dilate(final, 3), 3), 3) > 0
-        blinks = blinks & state["last_dil_inv"]  # stale inverted mask (:637)
         dil_inv = ~final_dilated
-        blinks = blinks & dil_inv  # fresh inverted mask (:639)
+        # fb.blinks_pre = (curr_blink | last_blink_mask) & STALE inverted
+        # mask (:637); the fresh inverted mask applies after post-proc (:639)
+        blinks = fb.blinks_pre & dil_inv
         final_fg = final > 0
         final_lt = state["final_lt"] * (1 - a_lt) + final_fg.astype(jnp.float32) * a_lt
         final_st = state["final_st"] * (1 - a_st) + final_fg.astype(jnp.float32) * a_st
