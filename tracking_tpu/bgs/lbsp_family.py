@@ -647,14 +647,22 @@ class SuBSENSE(BGSAlgorithm):
                 tot_desc = sum(dd)
                 tot_sum = sum(sum_c)
                 good = sc_ok & (tot_desc <= tot_desc_thr) & (tot_sum <= tot_color_thr)
-            live = good & (count < required)
+            live = good & (count < required_eff)
             min_desc = jnp.where(live, jnp.minimum(min_desc, tot_desc), min_desc)
             min_sum = jnp.where(live, jnp.minimum(min_sum, tot_sum), min_sum)
             return (count + live.astype(jnp.int32), min_desc, min_sum), None
 
+        # ROI gating: non-ROI (2-px border) pixels never produce output —
+        # is_fg masks them and spread/self-updates require is_bg & roi — but
+        # they WOULD keep accumulating consensus counts, and in the kernel a
+        # tile can only early-exit once every lane is satisfied. Zeroing
+        # their required count kills those lanes on sample 0 (43% of 720p
+        # tiles touch the border). Applied on both backends so carried
+        # border state stays bit-identical.
+        required_eff = jnp.where(roi, jnp.asarray(required, jnp.int32), 0)
+
         # Pallas fast path: fused VMEM-resident consensus (bank bytes cross
-        # HBM once). Requires a static required-count (the subsenseShrink
-        # per-pixel offset falls back to the XLA scan) and a real TPU.
+        # HBM once); real TPU only.
         use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             from tracking_tpu.ops.pallas_consensus import consensus_pallas
@@ -662,7 +670,7 @@ class SuBSENSE(BGSAlgorithm):
             count, min_desc, min_sum = consensus_pallas(
                 planes, nb_stack, intra_desc, colors, descs,
                 state["lut_delta"], color_thr, desc_thr,
-                required=required,
+                required=required_eff,
                 rel=cfg.fRelLBSPThreshold,
                 div=3.0 if c == 1 else 1.0,
                 hi_const=float(np.rint(255 * cfg.fRelLBSPThreshold)),

@@ -136,6 +136,17 @@ def fill_holes(mask_u8: jnp.ndarray, seed: str = "border") -> jnp.ndarray:
     reach0 = seeds & bg
     h_ax, w_ax = mask_u8.ndim - 2, mask_u8.ndim - 1
 
+    # TPU fast path: sequential tile-raster propagation in a Pallas kernel
+    # (ops/pallas_fill) — one forward+backward pass instead of dozens of
+    # full-map line sweeps (measured 8.5 ms → ~1 ms at 720p). Exact: an
+    # outer while_loop runs rounds to the same fixed point.
+    if jax.default_backend() == "tpu" and mask_u8.ndim == 2:
+        from tracking_tpu.ops.pallas_fill import flood_reach_pallas
+
+        reach = flood_reach_pallas(bg, reach0)
+        filled = fg | ~reach
+        return jnp.where(filled, jnp.uint8(255), jnp.uint8(0))
+
     def body(state):
         reach, _, i = state
         r = reach

@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: flood-fill reachability by sequential tile raster.
+
+Replaces the XLA fixed-point iteration in :mod:`ops.morphology.fill_holes`
+(alternating 4-direction log-depth line sweeps — ~44 full-map passes per
+sweep at 720p, measured 8.5 ms/frame, the single most expensive stage of the
+SuBSENSE step) for the reachability computation behind ``cv::floodFill``
+parity (``pl/BackgroundSubtractorSuBSENSE.cpp:630``).
+
+Key hardware fact: a TPU core executes Pallas grid steps *sequentially*, so
+a raster-ordered grid can propagate state across tiles within ONE pass —
+exactly like the classical two-pass connected-component sweep, but
+tile-blocked. Each tile converges locally in VMEM (4-direction masked-OR
+line scans via doubling), seeded by its top tile-row's bottom boundary and
+its left tile's right boundary, both carried in VMEM scratch that persists
+across grid steps. A forward (TL→BR) pass then a backward pass (the same
+kernel on flipped arrays) converge for all but pathological spiral masks;
+an outer ``lax.while_loop`` repeats rounds until a fixed point, so the
+result is EXACT (identical to the XLA fallback) with typically one round.
+
+The masked-OR line scan is the same affine-boolean transform used in
+morphology._masked_or_scan: y_j = bg_j & (r_j | y_{j-1}) with prefix
+composition (p, q) ∘ (p', q') = (p & p', (q & p') | q'), realized here as an
+in-register doubling loop (log2 steps of static shifts) per direction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BH, BW = 16, 256
+
+
+def _shift_fwd(a, k, axis, fill):
+    """Shift toward +axis by k with constant fill (static k)."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (k, 0)
+    x = jnp.pad(a, pad, constant_values=fill)
+    if axis == 0:
+        return x[: a.shape[0], :]
+    return x[:, : a.shape[1]]
+
+
+def _masked_or_fwd(r, bg, axis):
+    """Inclusive masked-OR scan along +axis: y_j = bg_j & (r_j | y_{j-1}).
+    Operates on i32 0/1 arrays (i1 vectors cannot be padded on Mosaic)."""
+    P, Q = bg, r & bg
+    n = r.shape[axis]
+    k = 1
+    while k < n:
+        Ps = _shift_fwd(P, k, axis, 1)
+        Qs = _shift_fwd(Q, k, axis, 0)
+        Q = (Qs & P) | Q
+        P = Ps & P
+        k *= 2
+    return Q
+
+
+def _shift_bwd(a, k, axis, fill):
+    """Shift toward −axis by k with constant fill (static k)."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (0, k)
+    x = jnp.pad(a, pad, constant_values=fill)
+    if axis == 0:
+        return x[k:, :]
+    return x[:, k:]
+
+
+def _masked_or_bwd(r, bg, axis):
+    """Suffix variant: y_j = bg_j & (r_j | y_{j+1}). (jnp.flip lowers to
+    lax.rev, unsupported in Mosaic — use mirrored shifts instead.)"""
+    P, Q = bg, r & bg
+    n = r.shape[axis]
+    k = 1
+    while k < n:
+        Ps = _shift_bwd(P, k, axis, 1)
+        Qs = _shift_bwd(Q, k, axis, 0)
+        Q = (Qs & P) | Q
+        P = Ps & P
+        k *= 2
+    return Q
+
+
+def _local_converge(r, bg):
+    """Iterate 4-direction sweeps until the tile is locally stable
+    (r, bg: i32 0/1)."""
+
+    def body(state):
+        r, _ = state
+        r2 = r
+        r2 = r2 | _masked_or_fwd(r2, bg, 1)
+        r2 = r2 | _masked_or_bwd(r2, bg, 1)
+        r2 = r2 | _masked_or_fwd(r2, bg, 0)
+        r2 = r2 | _masked_or_bwd(r2, bg, 0)
+        return r2, jnp.any(r2 != r)
+
+    def cond(state):
+        return state[1]
+
+    r, _ = jax.lax.while_loop(cond, body, (r, jnp.bool_(True)))
+    return r
+
+
+def _kernel(bg_ref, reach_in, reach_out, bot_row, right_col):
+    # Mosaic restrictions shape this kernel: no scatter (.at[].set), no
+    # lax.rev, no dynamic slicing of the lane (minor) dim. Scratch layouts:
+    # bot_row [nw, 8, BW] (dynamic index only on the leading dim, like the
+    # consensus kernel's bank walk); right_col [BH, 128] broadcast so reads
+    # reduce over lanes instead of lane-slicing.
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # everything in i32 0/1 (i1 vectors cannot be padded/selected on this
+    # Mosaic version); bitwise &,| on 0/1 are the logical ops
+    bg = bg_ref[...]
+    r = reach_in[...]
+
+    # seed from already-processed neighbors (raster order): the tile above
+    # contributed its bottom row to bot_row, the tile to the left its right
+    # column to right_col; scratch is garbage before the first writer, so
+    # gate by scalar multiply with the grid position (select over i1
+    # vectors does not legalize).
+    top = bot_row[j][0, :] * (i > 0).astype(jnp.int32)
+    left = jnp.max(right_col[...], axis=1) * (j > 0).astype(jnp.int32)
+    row0 = (jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0) == 0).astype(jnp.int32)
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1) == 0).astype(jnp.int32)
+    r = r | (row0 & top[None, :] & bg)
+    r = r | (col0 & left[:, None] & bg)
+
+    ri = _local_converge(r, bg)
+
+    reach_out[...] = ri
+    bot_row[j] = jnp.broadcast_to(ri[BH - 1 :, :], (8, BW))
+    # last column extracted by lane reduction (no lane slicing)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
+    last_col = jnp.max(jnp.where(lane == BW - 1, ri, 0), axis=1, keepdims=True)
+    right_col[...] = jnp.broadcast_to(last_col, (BH, 128))
+
+
+def _raster_pass(bg_i32, reach_i32, interpret):
+    Hp, Wp = bg_i32.shape
+    grid = (Hp // BH, Wp // BW)
+    spec = pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((Wp // BW, 8, BW), jnp.int32),
+            pltpu.VMEM((BH, 128), jnp.int32),
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(bg_i32, reach_i32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def flood_reach_pallas(bg, reach0, interpret: bool = False):
+    """Fixed point of border/corner-seeded background reachability.
+
+    bg, reach0: [H, W] bool. Returns reach [H, W] bool, identical to the
+    XLA fixed-point in morphology.fill_holes (validated by parity tests).
+    Rounds are capped at 8 (each round propagates across the whole image
+    diagonally, so real masks converge in 1; the cap mirrors the XLA
+    version's 32-sweep cap for adversarial spiral masks).
+    """
+    H, W = bg.shape
+    ph, pw = (-H) % BH, (-W) % BW
+    bg_p = jnp.pad(bg, ((0, ph), (0, pw))).astype(jnp.int32)
+    r_p = jnp.pad(reach0, ((0, ph), (0, pw))).astype(jnp.int32)
+
+    def round_(r):
+        r = _raster_pass(bg_p, r, interpret)
+        r = jnp.flip(_raster_pass(jnp.flip(bg_p, (0, 1)), jnp.flip(r, (0, 1)), interpret), (0, 1))
+        return r
+
+    def body(state):
+        r, _, it = state
+        r2 = round_(r)
+        return r2, jnp.any(r2 != r), it + 1
+
+    def cond(state):
+        return state[1] & (state[2] < 8)
+
+    r, _, _ = jax.lax.while_loop(
+        cond, body, (r_p, jnp.bool_(True), jnp.zeros((), jnp.int32))
+    )
+    return (r[:H, :W]) != 0
