@@ -46,8 +46,19 @@ def test_pallas_consensus_matches_xla(C, delta_v):
     hi = float(np.rint(255 * rel))
     thr_fn = _thr_fn(delta, rel, div, hi)
     intra, nb = LF._intra_descriptor(planes, thr_fn)
-    color_thr = jnp.asarray(rng.integers(10, 60, (H, W)).astype(np.int32))
-    desc_thr = jnp.asarray(rng.integers(2, 9, (H, W)).astype(np.int32))
+    # thresholds derive from R + the old unstable mask, in-kernel on the
+    # Pallas path and via the reference formula (:327-328) here
+    min_cd, desc_off = 30, 3
+    R = jnp.asarray(rng.uniform(1.0, 6.0, (H, W)).astype(np.float32))
+    unstable = jnp.asarray(rng.integers(0, 2, (H, W)).astype(np.int32))
+    stab_off = min_cd // 5
+    ct_f = R * min_cd - jnp.where(unstable != 0, 0, stab_off)
+    color_thr = ct_f.astype(jnp.int32) // (2 if C == 1 else 1)
+    desc_thr = (
+        (1 << jnp.floor(R + 0.5).astype(jnp.int32))
+        + desc_off
+        + jnp.where(unstable != 0, desc_off, 0)
+    )
     required = 2
 
     # XLA reference (mirrors the SuBSENSE step's consensus_body)
@@ -88,8 +99,9 @@ def test_pallas_consensus_matches_xla(C, delta_v):
     (cnt_x, mind_x, mins_x), _ = jax.lax.scan(body, c0, (colors, descs))
 
     cnt_p, mind_p, mins_p = consensus_pallas(
-        planes, nb, intra, colors, descs, delta, color_thr, desc_thr,
-        required=jnp.asarray(required), rel=rel, div=div, hi_const=hi, interpret=True,
+        planes, nb, intra, colors, descs, delta, R, unstable,
+        required=jnp.asarray(required), rel=rel, div=div, hi_const=hi,
+        min_cd=min_cd, desc_off=desc_off, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
     np.testing.assert_array_equal(np.asarray(mind_x), np.asarray(mind_p))

@@ -600,22 +600,28 @@ class SuBSENSE(BGSAlgorithm):
         colors, descs = state["colors"], state["descs"]
 
         # -- thresholds (old unstable mask; :327-328) ------------------------
+        # On the Pallas path the kernel derives these per-tile from R and
+        # the old unstable mask (two fewer full-map materializations).
+        use_pallas = jax.default_backend() == "tpu"
         R = state["R"]
         old_unstable = state["unstable"]
-        stab_off = cfg.nMinColorDistThreshold // 5
-        color_thr_f = R * cfg.nMinColorDistThreshold - jnp.where(old_unstable, 0, stab_off)
-        if c == 1:
-            color_thr = color_thr_f.astype(jnp.int32) // 2
-        else:
-            color_thr = color_thr_f.astype(jnp.int32)
-        desc_thr = (
-            (1 << jnp.floor(R + 0.5).astype(jnp.int32))
-            + cfg.nDescDistThresholdOffset
-            + jnp.where(old_unstable, cfg.nDescDistThresholdOffset, 0)
-        )
+        if not use_pallas:
+            stab_off = cfg.nMinColorDistThreshold // 5
+            color_thr_f = R * cfg.nMinColorDistThreshold - jnp.where(
+                old_unstable, 0, stab_off
+            )
+            if c == 1:
+                color_thr = color_thr_f.astype(jnp.int32) // 2
+            else:
+                color_thr = color_thr_f.astype(jnp.int32)
+            desc_thr = (
+                (1 << jnp.floor(R + 0.5).astype(jnp.int32))
+                + cfg.nDescDistThresholdOffset
+                + jnp.where(old_unstable, cfg.nDescDistThresholdOffset, 0)
+            )
 
         # -- sample consensus scan (:332-357 / :468-497) ---------------------
-        if c == 3:
+        if c == 3 and not use_pallas:
             tot_color_thr = color_thr * 3
             tot_desc_thr = desc_thr * 3
             sc_color_thr = tot_color_thr // 2
@@ -663,17 +669,18 @@ class SuBSENSE(BGSAlgorithm):
 
         # Pallas fast path: fused VMEM-resident consensus (bank bytes cross
         # HBM once); real TPU only.
-        use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             from tracking_tpu.ops.pallas_consensus import consensus_pallas
 
             count, min_desc, min_sum = consensus_pallas(
                 planes, nb_stack, intra_desc, colors, descs,
-                state["lut_delta"], color_thr, desc_thr,
+                state["lut_delta"], R, old_unstable,
                 required=required_eff,
                 rel=cfg.fRelLBSPThreshold,
                 div=3.0 if c == 1 else 1.0,
                 hi_const=float(np.rint(255 * cfg.fRelLBSPThreshold)),
+                min_cd=int(cfg.nMinColorDistThreshold),
+                desc_off=int(cfg.nDescDistThresholdOffset),
             )
         else:
             carry0 = (

@@ -60,10 +60,16 @@ def _thr_closed_form(v, delta, rel, div, hi_const):
     ).astype(jnp.int32)
 
 
-def _make_kernel(C, N, rel, div, hi_const, gray_mode):
+def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off):
     """Kernel body closure. Refs order:
-    [planes×C, nb×C, intra×C, colors×C, descs×C, delta, color_thr, desc_thr]
-    outputs [count, min_desc, min_sum]."""
+    [planes×C, nb×C, intra×C, colors×C, descs×C, delta, R, unstable, req]
+    outputs [count, min_desc, min_sum].
+
+    The R(x)-dependent thresholds are computed per-tile from R and the old
+    unstable mask (``BackgroundSubtractorSuBSENSE.cpp:327-328``) instead of
+    arriving as precomputed maps — saves two full-map materializations per
+    frame. The vector ``1 << floor(R+0.5)`` uses the f32-exponent bit trick
+    (Mosaic has no vector shift-by-vector)."""
 
     def kernel(*refs):
         planes = refs[0:C]
@@ -72,15 +78,24 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode):
         colors = refs[3 * C : 4 * C]
         descs = refs[4 * C : 5 * C]
         delta_ref = refs[5 * C]
-        cthr_ref = refs[5 * C + 1]
-        dthr_ref = refs[5 * C + 2]
+        r_ref = refs[5 * C + 1]
+        unst_ref = refs[5 * C + 2]
         req_ref = refs[5 * C + 3]
         count_ref, mind_ref, mins_ref = refs[5 * C + 4 :]
 
         delta = delta_ref[0, 0].astype(jnp.float32)
-        color_thr = cthr_ref[...]
-        desc_thr = dthr_ref[...]
+        R = r_ref[...]
+        unstable = unst_ref[...]  # i32 0/1
         required = req_ref[...]
+
+        stab_off = float(min_cd // 5)
+        ct_f = R * float(min_cd) - (1 - unstable).astype(jnp.float32) * stab_off
+        color_thr = ct_f.astype(jnp.int32)
+        if gray_mode:
+            color_thr = color_thr // 2
+        n_exp = jnp.floor(R + 0.5).astype(jnp.int32)
+        pow2 = pltpu.bitcast((n_exp + 127) << 23, jnp.float32).astype(jnp.int32)
+        desc_thr = pow2 + desc_off + unstable * desc_off
         px = [planes[c][...] for c in range(C)]
         nb = [nbs[c][...] for c in range(C)]
         intra = [intras[c][...] for c in range(C)]
@@ -155,7 +170,7 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode):
 
 @partial(
     jax.jit,
-    static_argnames=("rel", "div", "hi_const", "interpret"),
+    static_argnames=("rel", "div", "hi_const", "min_cd", "desc_off", "interpret"),
 )
 def consensus_pallas(
     planes,
@@ -164,20 +179,23 @@ def consensus_pallas(
     colors,
     descs,
     lut_delta,
-    color_thr,
-    desc_thr,
+    R,
+    unstable,
     required,
     rel: float,
     div: float,
     hi_const: float,
+    min_cd: int,
+    desc_off: int,
     interpret: bool = False,
 ):
     """Fused consensus. All tensor args are C-tuples:
     planes [H, W] u8, nb_stacks [16, H, W] i16, intra_descs [H, W] u16,
-    colors/descs [N, H, W] u8/u16; color_thr/desc_thr [H, W] i32;
+    colors/descs [N, H, W] u8/u16; R [H, W] f32; unstable [H, W] bool/int;
     lut_delta scalar i32; required is a scalar or [H, W] i32 map (the
-    subsenseShrink per-pixel offset). Returns (count, min_desc, min_sum)
-    i32 [H, W]."""
+    subsenseShrink per-pixel offset); min_cd/desc_off the config threshold
+    constants (thresholds are derived in-kernel). Returns
+    (count, min_desc, min_sum) i32 [H, W]."""
     C = len(planes)
     N = colors[0].shape[0]
     H, W = planes[0].shape
@@ -196,7 +214,7 @@ def consensus_pallas(
         + tuple(pad3(c) for c in colors)  # u8, native
         + tuple(pad3(d.astype(jnp.int16)) for d in descs)  # u16→i16 bitcast-safe
         + (lut_delta.astype(jnp.int32).reshape(1, 1),)
-        + (pad2(color_thr), pad2(desc_thr))
+        + (jnp.pad(R.astype(jnp.float32), ((0, ph), (0, pw))), pad2(unstable))
         + (pad2(jnp.broadcast_to(jnp.asarray(required, jnp.int32), (H, W))),)
     )
 
@@ -221,7 +239,7 @@ def consensus_pallas(
     out_shape = [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * 3
     out_specs = [spec2] * 3
 
-    kernel = _make_kernel(C, N, rel, div, hi_const, C == 1)
+    kernel = _make_kernel(C, N, rel, div, hi_const, C == 1, min_cd, desc_off)
     count, mind, mins = pl.pallas_call(
         kernel,
         grid=grid,
