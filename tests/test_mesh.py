@@ -1,0 +1,71 @@
+"""Mesh scale-out: sharded runs must equal the single-device computation.
+
+Runs on the 8-virtual-device CPU mesh from conftest (the same configuration
+the driver's dryrun uses).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tracking_tpu.core.registry import get_algorithm
+from tracking_tpu.parallel.mesh import (
+    make_mesh,
+    run_video_batch,
+    run_video_batch_shardmap,
+)
+from tracking_tpu.runner import run_video
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, (4, 1, 32, 48, 3), np.uint8)
+    frames = np.repeat(base, 6, axis=1)
+    # moving bright square per stream
+    for bidx in range(4):
+        for t in range(6):
+            frames[bidx, t, 8 + t : 16 + t, 10 + 2 * t : 20 + 2 * t] = 255
+    return jnp.asarray(frames)
+
+
+def _reference_masks(algo_name, frames):
+    masks = []
+    for bidx in range(frames.shape[0]):
+        algo = get_algorithm(algo_name)()
+        _, m = run_video(algo, frames[bidx])
+        masks.append(np.asarray(m))
+    return np.stack(masks)
+
+
+def test_spatial_sharded_batch_matches_per_stream(batch):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8)
+    algo = get_algorithm("FrameDifferenceBGS")()
+    _, masks = run_video_batch(algo, batch, mesh=mesh)
+    want = _reference_masks("FrameDifferenceBGS", batch)
+    np.testing.assert_array_equal(np.asarray(masks), want)
+
+
+def test_shardmap_stream_parallel_matches_per_stream(batch):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8, stream=4)
+    algo = get_algorithm("MixtureOfGaussianV2BGS")()
+    _, masks = run_video_batch_shardmap(algo, batch, mesh)
+    want = _reference_masks("MixtureOfGaussianV2BGS", batch)
+    np.testing.assert_array_equal(np.asarray(masks), want)
+
+
+def test_shardmap_flagship_subsense(batch):
+    """The flagship's full stochastic step under shard_map: shapes + masks
+    match the unsharded vmap runner exactly (same keys, same decisions)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8, stream=4)
+    algo = get_algorithm("SuBSENSEBGS")()
+    _, masks_sh = run_video_batch_shardmap(algo, batch, mesh)
+    _, masks_un = run_video_batch(algo, batch)
+    np.testing.assert_array_equal(np.asarray(masks_sh), np.asarray(masks_un))

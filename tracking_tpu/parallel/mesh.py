@@ -63,6 +63,48 @@ def shard_video_batch(frames: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     return jax.device_put(frames, NamedSharding(mesh, spec))
 
 
+def run_video_batch_shardmap(algo, frames: jnp.ndarray, mesh: Mesh, states=None):
+    """Stream-parallel scale-out with per-device Pallas kernels.
+
+    ``run_video_batch`` relies on XLA's automatic partitioner, which cannot
+    split an opaque ``pallas_call`` — on real multi-chip hardware the fused
+    TPU kernels would force replication. This runner instead ``shard_map``s
+    the whole per-stream pipeline over the mesh's ``stream`` axis: each
+    device runs complete streams locally (zero communication — per-stream
+    state is private), so the Pallas fast path applies per device. This is
+    the production configuration for throughput scale-out; spatial sharding
+    (``run_video_batch``) is for the single-stream-too-big case and uses the
+    XLA path.
+
+    frames: [B, T, H, W, C] with B divisible by the mesh's stream size.
+    Returns (states, masks [B, T, H, W]).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from tracking_tpu.runner.scan import make_step_fn
+
+    b, t, h, w = frames.shape[:4]
+    c = frames.shape[4] if frames.ndim == 5 else 1
+    if states is None:
+        states = jax.vmap(lambda _: algo.init(h, w, c))(jnp.arange(b))
+        states = jax.jit(jax.vmap(algo.warm_start))(states, frames[:, 0])
+
+    body = make_step_fn(algo, with_background=False)
+    spec = P("stream")
+
+    def local(states, frames):
+        def one_stream(state, stream_frames):
+            return jax.lax.scan(body, state, stream_frames)
+
+        return jax.vmap(one_stream)(states, frames)
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
+        check_rep=False,
+    )
+    return jax.jit(fn)(states, frames)
+
+
 def run_video_batch(algo, frames: jnp.ndarray, states=None, mesh: Optional[Mesh] = None):
     """Multi-stream batched scan: frames [B, T, H, W, C] → masks [B, T, H, W].
 
