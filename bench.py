@@ -55,10 +55,19 @@ def main():
         frames = jnp.asarray(
             rng.integers(0, 256, (t_chunk, streams, h, w, c), dtype=np.uint8)
         )
-    state0 = jax.vmap(lambda _: algo.init(h, w, c))(jnp.arange(streams))
-    state0 = jax.jit(jax.vmap(algo.warm_start))(state0, frames[0])
-
-    body = jax.vmap(make_step_fn(algo))
+    # vmap with a singleton batch measured +6.6 ms/frame on the Pallas path
+    # (batched pallas_call lowering + lost aliasing) — single-stream runs
+    # unbatched; multi-stream serving scales across chips via shard_map
+    # (parallel/mesh.py), not vmap.
+    if streams == 1:
+        frames = frames[:, 0]
+        state0 = algo.init(h, w, c)
+        state0 = jax.jit(algo.warm_start)(state0, frames[0])
+        body = make_step_fn(algo)
+    else:
+        state0 = jax.vmap(lambda _: algo.init(h, w, c))(jnp.arange(streams))
+        state0 = jax.jit(jax.vmap(algo.warm_start))(state0, frames[0])
+        body = jax.vmap(make_step_fn(algo))
 
     @jax.jit
     def run_chunk(state, frames):
