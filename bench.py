@@ -59,11 +59,28 @@ def main():
     # (batched pallas_call lowering + lost aliasing) — single-stream runs
     # unbatched; multi-stream serving scales across chips via shard_map
     # (parallel/mesh.py), not vmap.
+    # Full-pipeline measurement (BGS + blob tracking) — the north-star
+    # metric's definition. BENCH_TRACKING=0 measures BGS alone.
+    with_tracking = os.environ.get("BENCH_TRACKING", "1") != "0" and streams == 1
+
     if streams == 1:
         frames = frames[:, 0]
         state0 = algo.init(h, w, c)
         state0 = jax.jit(algo.warm_start)(state0, frames[0])
         body = make_step_fn(algo)
+        if with_tracking:
+            from tracking_tpu.track.tracker import BlobTracker
+
+            tracker = BlobTracker()
+            bgs_body = body
+
+            def body(carry, frame):
+                bgs_state, trk_state = carry
+                bgs_state, fg = bgs_body(bgs_state, frame)
+                trk_state, tracks = tracker.step(trk_state, fg)
+                return (bgs_state, trk_state), (fg, tracks.x)
+
+            state0 = (state0, tracker.init())
     else:
         state0 = jax.vmap(lambda _: algo.init(h, w, c))(jnp.arange(streams))
         state0 = jax.jit(jax.vmap(algo.warm_start))(state0, frames[0])
@@ -71,9 +88,14 @@ def main():
 
     @jax.jit
     def run_chunk(state, frames):
-        state, masks = jax.lax.scan(body, state, frames)
-        # Scalar checksum forces materialization of every mask.
-        return state, jnp.sum(masks.astype(jnp.uint32))
+        state, out = jax.lax.scan(body, state, frames)
+        if isinstance(out, tuple):  # (masks, track xs) in tracking mode
+            masks, xs = out
+            chk = jnp.sum(masks.astype(jnp.uint32)) + jnp.sum(xs).astype(jnp.uint32)
+        else:
+            chk = jnp.sum(out.astype(jnp.uint32))
+        # Scalar checksum forces materialization of every output.
+        return state, chk
 
     # Warm-up / compile (fetch completes execution).
     st, chk = run_chunk(state0, frames)
@@ -90,7 +112,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"720p_bgs_fps_per_chip[{algo.name}x{streams}]",
+                "metric": (
+                    f"720p_bgs{'_tracking' if with_tracking else ''}"
+                    f"_fps_per_chip[{algo.name}x{streams}]"
+                ),
                 "value": round(best_fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(best_fps / NORTH_STAR_FPS, 4),

@@ -96,3 +96,40 @@ def test_equalize_hist_matches_cv2(rng):
     ours = np.asarray(equalize_hist(jnp.asarray(img)))
     ref = cv2.equalizeHist(img)
     assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_extract_blobs_mxu_matches_scatter_path():
+    """The TPU stats path (one-hot MXU contractions) must agree with the
+    scatter formulation: ints exactly, centroids to f32 tolerance."""
+    import jax.numpy as jnp
+
+    from tracking_tpu.ops.cc import _extract_blobs_mxu, extract_blobs, label_components
+
+    rng = np.random.default_rng(17)
+    cases = [
+        (rng.uniform(size=(48, 64)) < 0.3),
+        (rng.uniform(size=(48, 64)) < 0.03),
+        np.zeros((48, 64), bool),
+    ]
+    m = np.zeros((48, 64), bool)
+    m[5:20, 10:30] = True
+    m[30:40, 40:60] = True
+    m[33:36, 45:50] = False
+    cases.append(m)
+    for fg in cases:
+        mask = jnp.asarray(fg.astype(np.uint8) * 255)
+        want = extract_blobs(mask, max_blobs=16)
+        lab = label_components(mask)
+        got = _extract_blobs_mxu(lab, 16, n_cand=512)
+        for name in ("area", "x0", "y0", "x1", "y1", "label"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(want, name)),
+                np.asarray(getattr(got, name)),
+                err_msg=name,
+            )
+        for name in ("cx", "cy"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(want, name)),
+                np.asarray(getattr(got, name)),
+                rtol=1e-5, atol=1e-4, err_msg=name,
+            )

@@ -79,6 +79,14 @@ def label_components(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
     spiral depth) iterations rather than O(pixel diameter).
     """
     H, W = mask.shape
+    # TPU fast path: sequential tile-raster min propagation (ops/pallas_cc)
+    # — the pointer-jumping compressions below are [H, W] gathers, ~25 ms
+    # each at 720p. Exact same fixed point (component-min labels).
+    if jax.default_backend() == "tpu" and mask.ndim == 2:
+        from tracking_tpu.ops.pallas_cc import label_components_pallas
+
+        return label_components_pallas(mask, connectivity=connectivity)
+
     big = H * W
     fg = mask > 0
     iota = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
@@ -129,6 +137,69 @@ class Blobs(NamedTuple):
         return jnp.maximum(self.y1 - self.y0 + 1, 0)
 
 
+def _extract_blobs_mxu(lab, max_blobs: int, n_cand: int = 128) -> Blobs:
+    """Blob stats without full-image scatters (each ~11 ms at 720p on TPU).
+
+    Roots (component-min pixels, where lab == own index) are compacted with
+    one top_k; per-component statistics become one-hot contractions over the
+    candidate axis — row/column count matrices via MXU einsums, from which
+    area, centroid sums, and bounding boxes are tiny reductions. Caveat: if
+    a frame has more than `n_cand` components, the top-`max_blobs`-by-area
+    selection is taken among the `n_cand` top-left-most roots (the XLA
+    scatter path considers all components); real masks after median
+    filtering have far fewer.
+    """
+    H, W = lab.shape
+    n = H * W
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    score = jnp.where(lab == iota, n - iota, 0)
+    top_score, _ = jax.lax.top_k(score.reshape(-1), n_cand)
+    roots_c = jnp.where(top_score > 0, n - top_score, n)  # n matches nothing
+
+    # area per candidate: one [H, W, K] one-hot, contracted over W then H
+    ohc = (lab[:, :, None] == roots_c[None, None, :]).astype(jnp.float32)
+    cnt_rk_c = jnp.einsum("hwk,w->hk", ohc, jnp.ones((W,), jnp.float32))
+    area_c = jnp.sum(cnt_rk_c, axis=0)
+
+    top_area, top_i = jax.lax.top_k(area_c, max_blobs)
+    roots = roots_c[top_i]
+
+    oh = (lab[:, :, None] == roots[None, None, :]).astype(jnp.float32)
+    cnt_rk = jnp.einsum("hwk,w->hk", oh, jnp.ones((W,), jnp.float32))
+    cnt_wk = jnp.einsum("hwk,h->wk", oh, jnp.ones((H,), jnp.float32))
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    area = jnp.sum(cnt_rk, axis=0).astype(jnp.int32)
+    sy = jnp.sum(cnt_rk * ys[:, None], axis=0)
+    sx = jnp.sum(cnt_wk * xs[:, None], axis=0)
+    pr = cnt_rk > 0
+    pw_ = cnt_wk > 0
+    y0 = (H - 1) - jnp.max(
+        jnp.where(pr, (H - 1) - ys[:, None].astype(jnp.int32), -1), axis=0
+    )
+    y1 = jnp.max(jnp.where(pr, ys[:, None].astype(jnp.int32), -1), axis=0)
+    x0 = (W - 1) - jnp.max(
+        jnp.where(pw_, (W - 1) - xs[:, None].astype(jnp.int32), -1), axis=0
+    )
+    x1 = jnp.max(jnp.where(pw_, xs[:, None].astype(jnp.int32), -1), axis=0)
+
+    ok = area > 0
+    inv_a = 1.0 / jnp.maximum(area.astype(jnp.float32), 1.0)
+    return Blobs(
+        area=jnp.where(ok, area, 0),
+        cx=jnp.where(ok, sx * inv_a, 0.0),
+        cy=jnp.where(ok, sy * inv_a, 0.0),
+        x0=jnp.where(ok, x0, 0),
+        y0=jnp.where(ok, y0, 0),
+        x1=jnp.where(ok, x1, -1),
+        y1=jnp.where(ok, y1, -1),
+        label=jnp.where(ok, roots, -1),
+    )
+
+
 @partial(jax.jit, static_argnames=("max_blobs", "connectivity"))
 def extract_blobs(
     mask: jnp.ndarray, max_blobs: int = 64, connectivity: int = 8
@@ -137,6 +208,8 @@ def extract_blobs(
     H, W = mask.shape
     n = H * W
     lab = label_components(mask, connectivity)
+    if jax.default_backend() == "tpu":
+        return _extract_blobs_mxu(lab, max_blobs)
     flat = lab.reshape(-1)
     valid = flat >= 0
     idx = jnp.where(valid, flat, n)  # background scatters into the overflow bin

@@ -35,67 +35,74 @@ from jax.experimental.pallas import tpu as pltpu
 BH, BW = 16, 256
 
 
-def _shift_fwd(a, k, axis, fill):
-    """Shift toward +axis by k with constant fill (static k)."""
-    pad = [(0, 0), (0, 0)]
-    pad[axis] = (k, 0)
-    x = jnp.pad(a, pad, constant_values=fill)
-    if axis == 0:
-        return x[: a.shape[0], :]
-    return x[:, : a.shape[1]]
+def _roll(a, k, axis, interp):
+    """Circular shift; pltpu.roll on hardware (jnp.pad/concatenate lane
+    shifts trip a Mosaic layout bug — "result/input offset mismatch" — when
+    this kernel is compiled inside larger programs), jnp.roll in interpret
+    mode (pltpu.roll has no interpret rule). NOTE: pltpu.roll's shift moves
+    data toward LOWER indices for positive shift in some versions — both
+    paths are normalized to jnp.roll semantics by the parity tests."""
+    kk = k % a.shape[axis]  # pltpu.roll requires a non-negative shift
+    if interp:
+        return jnp.roll(a, kk, axis)
+    return pltpu.roll(a, kk, axis)
 
 
-def _masked_or_fwd(r, bg, axis):
+def _shift_fwd(a, k, axis, fill, interp):
+    """Shift toward +axis by k with constant fill (static k ≥ 0)."""
+    r = _roll(a, k, axis, interp)
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+    return jnp.where(idx < k, fill, r)
+
+
+def _masked_or_fwd(r, bg, axis, interp):
     """Inclusive masked-OR scan along +axis: y_j = bg_j & (r_j | y_{j-1}).
     Operates on i32 0/1 arrays (i1 vectors cannot be padded on Mosaic)."""
     P, Q = bg, r & bg
     n = r.shape[axis]
     k = 1
     while k < n:
-        Ps = _shift_fwd(P, k, axis, 1)
-        Qs = _shift_fwd(Q, k, axis, 0)
+        Ps = _shift_fwd(P, k, axis, 1, interp)
+        Qs = _shift_fwd(Q, k, axis, 0, interp)
         Q = (Qs & P) | Q
         P = Ps & P
         k *= 2
     return Q
 
 
-def _shift_bwd(a, k, axis, fill):
-    """Shift toward −axis by k with constant fill (static k)."""
-    pad = [(0, 0), (0, 0)]
-    pad[axis] = (0, k)
-    x = jnp.pad(a, pad, constant_values=fill)
-    if axis == 0:
-        return x[k:, :]
-    return x[:, k:]
+def _shift_bwd(a, k, axis, fill, interp):
+    """Shift toward −axis by k with constant fill (static k ≥ 0)."""
+    r = _roll(a, -k, axis, interp)
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+    return jnp.where(idx >= a.shape[axis] - k, fill, r)
 
 
-def _masked_or_bwd(r, bg, axis):
+def _masked_or_bwd(r, bg, axis, interp):
     """Suffix variant: y_j = bg_j & (r_j | y_{j+1}). (jnp.flip lowers to
     lax.rev, unsupported in Mosaic — use mirrored shifts instead.)"""
     P, Q = bg, r & bg
     n = r.shape[axis]
     k = 1
     while k < n:
-        Ps = _shift_bwd(P, k, axis, 1)
-        Qs = _shift_bwd(Q, k, axis, 0)
+        Ps = _shift_bwd(P, k, axis, 1, interp)
+        Qs = _shift_bwd(Q, k, axis, 0, interp)
         Q = (Qs & P) | Q
         P = Ps & P
         k *= 2
     return Q
 
 
-def _local_converge(r, bg):
+def _local_converge(r, bg, interp):
     """Iterate 4-direction sweeps until the tile is locally stable
     (r, bg: i32 0/1)."""
 
     def body(state):
         r, _ = state
         r2 = r
-        r2 = r2 | _masked_or_fwd(r2, bg, 1)
-        r2 = r2 | _masked_or_bwd(r2, bg, 1)
-        r2 = r2 | _masked_or_fwd(r2, bg, 0)
-        r2 = r2 | _masked_or_bwd(r2, bg, 0)
+        r2 = r2 | _masked_or_fwd(r2, bg, 1, interp)
+        r2 = r2 | _masked_or_bwd(r2, bg, 1, interp)
+        r2 = r2 | _masked_or_fwd(r2, bg, 0, interp)
+        r2 = r2 | _masked_or_bwd(r2, bg, 0, interp)
         return r2, jnp.any(r2 != r)
 
     def cond(state):
@@ -105,39 +112,43 @@ def _local_converge(r, bg):
     return r
 
 
-def _kernel(bg_ref, reach_in, reach_out, bot_row, right_col):
-    # Mosaic restrictions shape this kernel: no scatter (.at[].set), no
-    # lax.rev, no dynamic slicing of the lane (minor) dim. Scratch layouts:
-    # bot_row [nw, 8, BW] (dynamic index only on the leading dim, like the
-    # consensus kernel's bank walk); right_col [BH, 128] broadcast so reads
-    # reduce over lanes instead of lane-slicing.
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    # everything in i32 0/1 (i1 vectors cannot be padded/selected on this
-    # Mosaic version); bitwise &,| on 0/1 are the logical ops
-    bg = bg_ref[...]
-    r = reach_in[...]
+def _make_kernel(interp):
+    def _kernel(bg_ref, reach_in, reach_out, bot_row, right_col):
+        # Mosaic restrictions shape this kernel: no scatter (.at[].set), no
+        # lax.rev, no dynamic slicing of the lane (minor) dim. Scratch layouts:
+        # bot_row [nw, 8, BW] (dynamic index only on the leading dim, like the
+        # consensus kernel's bank walk); right_col [BH, 128] broadcast so reads
+        # reduce over lanes instead of lane-slicing.
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        # everything in i32 0/1 (i1 vectors cannot be padded/selected on this
+        # Mosaic version); bitwise &,| on 0/1 are the logical ops
+        bg = bg_ref[...]
+        r = reach_in[...]
 
-    # seed from already-processed neighbors (raster order): the tile above
-    # contributed its bottom row to bot_row, the tile to the left its right
-    # column to right_col; scratch is garbage before the first writer, so
-    # gate by scalar multiply with the grid position (select over i1
-    # vectors does not legalize).
-    top = bot_row[j][0, :] * (i > 0).astype(jnp.int32)
-    left = jnp.max(right_col[...], axis=1) * (j > 0).astype(jnp.int32)
-    row0 = (jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0) == 0).astype(jnp.int32)
-    col0 = (jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1) == 0).astype(jnp.int32)
-    r = r | (row0 & top[None, :] & bg)
-    r = r | (col0 & left[:, None] & bg)
+        # seed from already-processed neighbors (raster order): the tile above
+        # contributed its bottom row to bot_row, the tile to the left its right
+        # column to right_col; scratch is garbage before the first writer, so
+        # gate by scalar multiply with the grid position (select over i1
+        # vectors does not legalize).
+        top = bot_row[j][0, :] * (i > 0).astype(jnp.int32)
+        left = jnp.max(right_col[...], axis=1) * (j > 0).astype(jnp.int32)
+        row0 = (jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0) == 0).astype(jnp.int32)
+        col0 = (jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1) == 0).astype(jnp.int32)
+        r = r | (row0 & top[None, :] & bg)
+        r = r | (col0 & left[:, None] & bg)
 
-    ri = _local_converge(r, bg)
+        ri = _local_converge(r, bg, interp)
 
-    reach_out[...] = ri
-    bot_row[j] = jnp.broadcast_to(ri[BH - 1 :, :], (8, BW))
-    # last column extracted by lane reduction (no lane slicing)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
-    last_col = jnp.max(jnp.where(lane == BW - 1, ri, 0), axis=1, keepdims=True)
-    right_col[...] = jnp.broadcast_to(last_col, (BH, 128))
+        reach_out[...] = ri
+        bot_row[j] = jnp.broadcast_to(ri[BH - 1 :, :], (8, BW))
+        # last column extracted by lane reduction (no lane slicing)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
+        last_col = jnp.max(jnp.where(lane == BW - 1, ri, 0), axis=1, keepdims=True)
+        right_col[...] = jnp.broadcast_to(last_col, (BH, 128))
+
+
+    return _kernel
 
 
 def _raster_pass(bg_i32, reach_i32, interpret):
@@ -145,7 +156,7 @@ def _raster_pass(bg_i32, reach_i32, interpret):
     grid = (Hp // BH, Wp // BW)
     spec = pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(interpret),
         grid=grid,
         in_specs=[spec, spec],
         out_specs=spec,
