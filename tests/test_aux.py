@@ -95,3 +95,34 @@ def test_tracking_cli_savestate_loadstate(tmp_path):
          "--quiet", "--loadstate", ck, "--track", trk]
     )
     assert rc == 0 and os.path.exists(trk)
+
+
+def test_bgs_run_cli_end_to_end(tmp_path):
+    """bgs-run on the reference video: mask video written, fps reported
+    (Main/VideoAnalysis parity incl. --compare/--stopAt/--imgref)."""
+    video = os.path.join(REFERENCE, "dataset", "video.avi")
+    if not os.path.exists(video):
+        pytest.skip("reference video unavailable")
+    import cv2
+
+    from tracking_tpu.runner.cli import bgs_run
+
+    ref_png = str(tmp_path / "ref.png")
+    out_avi = str(tmp_path / "fg.avi")
+    # make a reference frame for --compare from a first quick pass
+    rc = bgs_run(
+        ["-uf", "-fn", video, "-a", "FrameDifferenceBGS",
+         "--max_frames", "24", "--chunk", "8", "-o", out_avi]
+    )
+    assert rc == 0 and os.path.exists(out_avi)
+    cap = cv2.VideoCapture(out_avi)
+    nf = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    ok, frame = cap.read()
+    cap.release()
+    assert nf == 24 and ok
+    cv2.imwrite(ref_png, cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
+    rc = bgs_run(
+        ["-uf", "-fn", video, "-a", "FrameDifferenceBGS", "--max_frames", "8",
+         "--chunk", "8", "--compare", "--imgref", ref_png, "--stopAt", "0"]
+    )
+    assert rc == 0

@@ -79,8 +79,26 @@ def bgs_run(argv=None):
     out = None
     n = 0
     t0 = time.perf_counter()
-    for chunk in chunk_iter:
-        state, masks = run_video(algo, jnp.asarray(chunk), state=state)
+
+    def _staged(it):
+        """Double-buffer: stage chunk k+1 on device (async device_put)
+        while chunk k computes — overlaps host decode + PCIe/tunnel
+        transfer with TPU compute (VideoCapture loop parity: the reference
+        decodes synchronously; here decode rides the prefetch ring of the
+        native reader AND the device transfer is pipelined)."""
+        import jax
+
+        pending = None
+        for chunk in it:
+            staged = jax.device_put(chunk)
+            if pending is not None:
+                yield pending
+            pending = staged
+        if pending is not None:
+            yield pending
+
+    for chunk in _staged(chunk_iter):
+        state, masks = run_video(algo, chunk, state=state)
         masks = np.asarray(masks)
         for i, m in enumerate(masks):
             if args.output:
