@@ -1,19 +1,27 @@
 """Per-pixel Gaussian-mixture BGS family (SURVEY §2.2/§2.3 GMM rows).
 
-Four models share one TPU-native skeleton: per-pixel mode banks stored as
-``[H, W, K]`` / ``[H, W, K, C]`` tensors, with each per-pixel update written as
-a scalar function over the K-mode axis and ``vmap``-ed over pixels — XLA fuses
-the whole thing into a few VPU passes; K ≤ 5 "sorts" lower to tiny sorting
-networks.
+Four models share one TPU-native skeleton: per-pixel mode banks stored
+MODE-MAJOR as ``[K, H, W]`` / ``[K, C, H, W]`` tensors, with every per-pixel
+update written as whole-map ops inside statically-unrolled K/C loops.
+
+Why mode-major (measured): the original formulation (``[H, W, K]`` plus a
+per-pixel function vmapped over pixels) ran MOG2 at 307 ms/frame at 720p —
+(a) a K=5 minor axis tiles onto 128 lanes at 4% efficiency, and (b) the
+per-pixel ``argsort``+take sort became batched million-pixel gathers
+(~25 ms each). Mode-major arrays keep H×W on the (8,128) tiles, and the
+sort becomes an odd-even transposition network of ``jnp.where``
+compare-exchanges over [H, W] maps — no gathers anywhere. Same math,
+~100× faster (see PERF.md).
 
 Sequential-to-parallel reformulations (all argued equivalent to the C++):
-- The reference's first-match scan becomes a vectorized match mask +
-  ``argmax`` (first True).
+- The reference's first-match scan becomes a running ``prefix-no-match``
+  mask (first True = match & nothing matched earlier).
 - Grimson's ``qsort`` by significance and Zivkovic/MOG2's bubble-up both
   become stable descending sorts: decay scales all unmatched weights by the
   same affine map (order-preserving), only the matched mode's weight rises,
-  and pruned modes are always a suffix — so a full stable sort reproduces the
-  incremental reorderings exactly.
+  and pruned modes are always a suffix — so a stable sort reproduces the
+  incremental reorderings exactly. Stability holds because odd-even
+  transposition only swaps on STRICT key inequality.
 - "numModes--" on prune drops a suffix because weights are kept descending.
 
 References:
@@ -33,9 +41,7 @@ References:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 
 from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
@@ -46,20 +52,97 @@ from tracking_tpu.ops.threshold import threshold_binary
 _EPS = 1e-12
 
 
-def _vmap_pixels(fn, *args):
-    """vmap a per-pixel function over [H, W, ...] leading dims."""
-    return jax.vmap(jax.vmap(fn))(*args)
+def _to_planes(frame):
+    """[H, W(, C)] u8 → list of C f32 [H, W] planes."""
+    f = frame if frame.ndim == 3 else frame[..., None]
+    return [f[..., ci].astype(jnp.float32) for ci in range(f.shape[-1])]
 
 
-def _first_true(mask: jnp.ndarray):
-    """(any, index-of-first-True) along the last axis of a 1-D bool vector."""
-    return jnp.any(mask), jnp.argmax(mask)
+def _sort_desc_maps(key, payloads):
+    """Stable descending sort of K parallel [H, W] map-lists by `key`.
+
+    Odd-even transposition network: K rounds of compare-exchange on
+    adjacent pairs; swapping only on STRICT `<` keeps equal keys in their
+    original order (stability), matching jnp.argsort(-key, stable=True).
+    """
+    K = len(key)
+    key = list(key)
+    payloads = [list(p) for p in payloads]
+    for rnd in range(K):
+        for i in range(rnd % 2, K - 1, 2):
+            swap = key[i] < key[i + 1]
+            key[i], key[i + 1] = (
+                jnp.where(swap, key[i + 1], key[i]),
+                jnp.where(swap, key[i], key[i + 1]),
+            )
+            for p in payloads:
+                p[i], p[i + 1] = (
+                    jnp.where(swap, p[i + 1], p[i]),
+                    jnp.where(swap, p[i], p[i + 1]),
+                )
+    return key, payloads
 
 
-def _sort_desc(key: jnp.ndarray, *arrays):
-    """Stable descending sort of parallel arrays along axis 0 by `key` [K]."""
-    order = jnp.argsort(-key, stable=True)
-    return tuple(a[order] for a in arrays)
+def _first_match(match):
+    """is_match (one-hot first True) + prefix-no-match ("considered") masks."""
+    K = len(match)
+    is_match, considered = [], []
+    none_before = jnp.ones_like(match[0])
+    for k in range(K):
+        considered.append(none_before)
+        is_match.append(match[k] & none_before)
+        none_before = none_before & jnp.logical_not(match[k])
+    return jnp.logical_not(none_before), is_match, considered
+
+
+def _unstack3(a, K):
+    return [a[k] for k in range(K)]
+
+
+def _unstack4(a, K, C):
+    return [[a[k, ci] for ci in range(C)] for k in range(K)]
+
+
+def _stack_state(w, var, mu):
+    return (
+        jnp.stack(w),
+        jnp.stack(var),
+        jnp.stack([jnp.stack(mk) for mk in mu]),
+    )
+
+
+class _GMMBase(BGSAlgorithm):
+    """Shared init/state layout: w/var [K, H, W] f32, mu [K, C, H, W] f32,
+    n [H, W] i32 (mode counts)."""
+
+    K_FIELD = "gaussians"
+
+    def init(self, h: int, w: int, c: int = 3) -> State:
+        K = getattr(self.config, self.K_FIELD)
+        c = max(c, 1)
+        return {
+            "t": jnp.zeros((), jnp.int32),
+            "w": jnp.zeros((K, h, w), jnp.float32),
+            "var": jnp.zeros((K, h, w), jnp.float32),
+            "mu": jnp.zeros((K, c, h, w), jnp.float32),
+            "n": jnp.zeros((h, w), jnp.int32),
+        }
+
+    def _load(self, state, planes):
+        K = getattr(self.config, self.K_FIELD)
+        C = len(planes)
+        w = _unstack3(state["w"], K)
+        var = _unstack3(state["var"], K)
+        mu = _unstack4(state["mu"], K, C)
+        n = state["n"]
+        dist = []
+        for k in range(K):
+            d2 = sum(
+                (mu[k][ci] - planes[ci]) ** 2 for ci in range(C)
+            )
+            dist.append(d2)
+        active = [n > k for k in range(K)]
+        return K, C, w, var, mu, n, dist, active
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +158,7 @@ class GrimsonGMMConfig(BGSConfig):
 
 
 @register("DPGrimsonGMMBGS", type_id=10, aliases=("grimson-gmm",))
-class DPGrimsonGMM(BGSAlgorithm):
+class DPGrimsonGMM(_GMMBase):
     """Stauffer–Grimson GMM, ordered by significance w/σ; emits the
     high-threshold mask (2×threshold) like every dp wrapper."""
 
@@ -83,74 +166,97 @@ class DPGrimsonGMM(BGSAlgorithm):
     BG_THRESHOLD = 0.75  # GrimsonGMM.cpp:76
     INIT_VAR = 36.0  # GrimsonGMM.cpp:79
 
-    def init(self, h: int, w: int, c: int = 3) -> State:
-        K = self.config.gaussians
-        c = max(c, 1)
-        return {
-            "t": jnp.zeros((), jnp.int32),
-            "w": jnp.zeros((h, w, K), jnp.float32),
-            "var": jnp.zeros((h, w, K), jnp.float32),
-            "mu": jnp.zeros((h, w, K, c), jnp.float32),
-            "n": jnp.zeros((h, w), jnp.int32),
-        }
-
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         cfg = self.config
-        K = cfg.gaussians
         alpha, low_thr, high_thr = cfg.alpha, cfg.threshold, 2.0 * cfg.threshold
         bg_thr, init_var = self.BG_THRESHOLD, self.INIT_VAR
-        f = (frame if frame.ndim == 3 else frame[..., None]).astype(jnp.float32)
+        planes = _to_planes(frame)
+        K, C, w, var, mu, n, dist, active = self._load(state, planes)
 
-        def pixel(px, w, var, mu, n):
-            idx = jnp.arange(K)
-            active = idx < n
-            # background gaussians: exclusive prefix weight < bg_thr
-            excl = jnp.cumsum(w) - w
-            is_bg = (excl < bg_thr) & active
-            d = mu - px[None, :]
-            dist = jnp.sum(d * d, axis=1)
-            match = (dist < low_thr * var) & active
-            has_match, first = _first_true(match)
-            is_match = match & (idx == first)
-            # high check runs only until (and including) the matching mode
-            considered = jnp.where(has_match, idx <= first, True) & active
-            bg_high = jnp.any((dist < high_thr * var) & is_bg & considered)
-            bg_low = has_match & is_bg[first]
+        # background gaussians: exclusive prefix weight < bg_thr
+        excl = jnp.zeros_like(w[0])
+        is_bg = []
+        for k in range(K):
+            is_bg.append((excl < bg_thr) & active[k])
+            excl = excl + w[k]
 
-            k = alpha / jnp.maximum(w, _EPS)
-            w1 = jnp.where(active, (1.0 - alpha) * w, w)
-            w1 = jnp.where(is_match, w1 + alpha, w1)
-            mu1 = jnp.where(is_match[:, None], mu - k[:, None] * d, mu)
-            var1 = jnp.where(
-                is_match, jnp.clip(var + k * (dist - var), 4.0, 5.0 * init_var), var
+        match = [(dist[k] < low_thr * var[k]) & active[k] for k in range(K)]
+        has_match, is_match, considered = _first_match(match)
+        # high check runs only until (and including) the matching mode
+        bg_high = jnp.zeros_like(has_match)
+        bg_low = jnp.zeros_like(has_match)
+        for k in range(K):
+            cons_k = jnp.where(has_match, considered[k], True) & active[k]
+            bg_high = bg_high | ((dist[k] < high_thr * var[k]) & is_bg[k] & cons_k)
+            bg_low = bg_low | (is_match[k] & is_bg[k])
+
+        w1, var1 = [], []
+        for k in range(K):
+            kk = alpha / jnp.maximum(w[k], _EPS)
+            wk = jnp.where(active[k], (1.0 - alpha) * w[k], w[k])
+            wk = jnp.where(is_match[k], wk + alpha, wk)
+            for ci in range(C):
+                mu[k][ci] = jnp.where(
+                    is_match[k],
+                    mu[k][ci] - kk * (mu[k][ci] - planes[ci]),
+                    mu[k][ci],
+                )
+            var1.append(
+                jnp.where(
+                    is_match[k],
+                    jnp.clip(var[k] + kk * (dist[k] - var[k]), 4.0, 5.0 * init_var),
+                    var[k],
+                )
             )
-            total = jnp.sum(jnp.where(active, w1, 0.0))
-            w1 = jnp.where(active, w1 / jnp.maximum(total, _EPS), w1)
-            sig = jnp.where(active, w1 / jnp.sqrt(jnp.maximum(var1, _EPS)), -jnp.inf)
-            w1, var1, mu1 = _sort_desc(sig, w1, var1, mu1)
-
-            # new mode when no match (GrimsonGMM.cpp:234-274)
-            n1 = jnp.where(has_match, n, jnp.minimum(n + 1, K))
-            slot = (idx == n1 - 1) & ~has_match
-            w2 = jnp.where(slot, jnp.where(n1 == 1, 1.0, alpha), w1)
-            mu2 = jnp.where(slot[:, None], px[None, :], mu1)
-            var2 = jnp.where(slot, init_var, var1)
-            active2 = idx < n1
-            total2 = jnp.sum(jnp.where(active2, w2, 0.0))
-            w2 = jnp.where(active2, w2 / jnp.maximum(total2, _EPS), w2)
-            sig2 = jnp.where(active2, w2 / jnp.sqrt(jnp.maximum(var2, _EPS)), -jnp.inf)
-            w2, var2, mu2 = _sort_desc(sig2, w2, var2, mu2)
-
-            fg = jnp.where(bg_high, jnp.uint8(0), jnp.uint8(255))
-            return w2, var2, mu2, n1, fg, mu2[0]
-
-        w, var, mu, n, fg, bg = _vmap_pixels(
-            pixel, f, state["w"], state["var"], state["mu"], state["n"]
+            w1.append(wk)
+        total = sum(jnp.where(active[k], w1[k], 0.0) for k in range(K))
+        w1 = [
+            jnp.where(active[k], w1[k] / jnp.maximum(total, _EPS), w1[k])
+            for k in range(K)
+        ]
+        sig = [
+            jnp.where(
+                active[k], w1[k] / jnp.sqrt(jnp.maximum(var1[k], _EPS)), -jnp.inf
+            )
+            for k in range(K)
+        ]
+        _, (w1, var1, *mus) = _sort_desc_maps(
+            sig, [w1, var1] + [[mu[k][ci] for k in range(K)] for ci in range(C)]
         )
-        bg_u8 = bg.astype(jnp.uint8)
+        mu = [[mus[ci][k] for ci in range(C)] for k in range(K)]
+
+        # new mode when no match (GrimsonGMM.cpp:234-274)
+        n1 = jnp.where(has_match, n, jnp.minimum(n + 1, K))
+        w2, var2 = [], []
+        for k in range(K):
+            slot = (n1 == k + 1) & jnp.logical_not(has_match)
+            w2.append(jnp.where(slot, jnp.where(n1 == 1, 1.0, alpha), w1[k]))
+            var2.append(jnp.where(slot, init_var, var1[k]))
+            for ci in range(C):
+                mu[k][ci] = jnp.where(slot, planes[ci], mu[k][ci])
+        active2 = [n1 > k for k in range(K)]
+        total2 = sum(jnp.where(active2[k], w2[k], 0.0) for k in range(K))
+        w2 = [
+            jnp.where(active2[k], w2[k] / jnp.maximum(total2, _EPS), w2[k])
+            for k in range(K)
+        ]
+        sig2 = [
+            jnp.where(
+                active2[k], w2[k] / jnp.sqrt(jnp.maximum(var2[k], _EPS)), -jnp.inf
+            )
+            for k in range(K)
+        ]
+        _, (w2, var2, *mus) = _sort_desc_maps(
+            sig2, [w2, var2] + [[mu[k][ci] for k in range(K)] for ci in range(C)]
+        )
+        mu = [[mus[ci][k] for ci in range(C)] for k in range(K)]
+
+        fg = jnp.where(bg_high, jnp.uint8(0), jnp.uint8(255))
+        bg_u8 = jnp.stack([mu[0][ci] for ci in range(C)], axis=-1).astype(jnp.uint8)
         if frame.ndim == 2:
             bg_u8 = bg_u8[..., 0]
-        new_state = {"t": state["t"] + 1, "w": w, "var": var, "mu": mu, "n": n}
+        ws, vs, ms = _stack_state(w2, var2, mu)
+        new_state = {"t": state["t"] + 1, "w": ws, "var": vs, "mu": ms, "n": n1}
         return new_state, fg, bg_u8
 
 
@@ -167,7 +273,7 @@ class ZivkovicAGMMConfig(BGSConfig):
 
 
 @register("DPZivkovicAGMMBGS", type_id=11, aliases=("zivkovic-agmm",))
-class DPZivkovicAGMM(BGSAlgorithm):
+class DPZivkovicAGMM(_GMMBase):
     """Zivkovic adaptive GMM: weight-ordered modes, complexity prior prunes
     weak modes (weight < α·0.05 → deleted). Emits the high mask (2×thr)."""
 
@@ -176,81 +282,94 @@ class DPZivkovicAGMM(BGSAlgorithm):
     INIT_VAR = 36.0
     CT = 0.05  # complexity prior, ZivkovicAGMM.cpp:66
 
-    def init(self, h: int, w: int, c: int = 3) -> State:
-        K = self.config.gaussians
-        c = max(c, 1)
-        return {
-            "t": jnp.zeros((), jnp.int32),
-            "w": jnp.zeros((h, w, K), jnp.float32),
-            "var": jnp.zeros((h, w, K), jnp.float32),
-            "mu": jnp.zeros((h, w, K, c), jnp.float32),
-            "n": jnp.zeros((h, w), jnp.int32),
-        }
-
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         cfg = self.config
-        K = cfg.gaussians
         alpha, low_thr, high_thr = cfg.alpha, cfg.threshold, 2.0 * cfg.threshold
         prune = -alpha * self.CT
         bg_thr, init_var = self.BG_THRESHOLD, self.INIT_VAR
-        f = (frame if frame.ndim == 3 else frame[..., None]).astype(jnp.float32)
+        planes = _to_planes(frame)
+        K, C, w, var, mu, n, dist, active = self._load(state, planes)
 
-        def pixel(px, w, var, mu, n):
-            idx = jnp.arange(K)
-            active = idx < n
-            excl = jnp.cumsum(w) - w
-            is_bg = (excl < bg_thr) & active
-            d = mu - px[None, :]
-            dist = jnp.sum(d * d, axis=1)
-            match = (dist < low_thr * var) & active
-            has_match, first = _first_true(match)
-            is_match = match & (idx == first)
-            considered = jnp.where(has_match, idx <= first, True) & active
-            bg_high = jnp.any((dist < high_thr * var) & is_bg & considered)
-            bg_low = has_match & is_bg[first]
+        excl = jnp.zeros_like(w[0])
+        is_bg = []
+        for k in range(K):
+            is_bg.append((excl < bg_thr) & active[k])
+            excl = excl + w[k]
 
-            k = alpha / jnp.maximum(w, _EPS)
-            w1 = jnp.where(active, (1.0 - alpha) * w + prune, w)
-            w1 = jnp.where(is_match, w1 + alpha, w1)
-            mu1 = jnp.where(is_match[:, None], mu - k[:, None] * d, mu)
-            var1 = jnp.where(
-                is_match, jnp.clip(var + k * (dist - var), 4.0, 5.0 * init_var), var
+        match = [(dist[k] < low_thr * var[k]) & active[k] for k in range(K)]
+        has_match, is_match, considered = _first_match(match)
+        bg_high = jnp.zeros_like(has_match)
+        for k in range(K):
+            cons_k = jnp.where(has_match, considered[k], True) & active[k]
+            bg_high = bg_high | ((dist[k] < high_thr * var[k]) & is_bg[k] & cons_k)
+
+        w1, var1, pruned_n = [], [], jnp.zeros_like(n)
+        for k in range(K):
+            kk = alpha / jnp.maximum(w[k], _EPS)
+            wk = jnp.where(active[k], (1.0 - alpha) * w[k] + prune, w[k])
+            wk = jnp.where(is_match[k], wk + alpha, wk)
+            for ci in range(C):
+                mu[k][ci] = jnp.where(
+                    is_match[k],
+                    mu[k][ci] - kk * (mu[k][ci] - planes[ci]),
+                    mu[k][ci],
+                )
+            var1.append(
+                jnp.where(
+                    is_match[k],
+                    jnp.clip(var[k] + kk * (dist[k] - var[k]), 4.0, 5.0 * init_var),
+                    var[k],
+                )
             )
-            # prune (only unmatched modes check it, ZivkovicAGMM.cpp:229-255);
-            # pruned modes are a suffix because weights are kept descending.
-            pruned = active & ~is_match & (w1 < -prune)
-            w1 = jnp.where(pruned, 0.0, w1)
-            n1 = n - jnp.sum(pruned.astype(jnp.int32))
-            total = jnp.sum(jnp.where(active, w1, 0.0))
-            w1 = jnp.where(active, w1 / jnp.maximum(total, _EPS), w1)
-            # stable desc sort by weight == reference's bubble-up (see module doc)
-            key = jnp.where(idx < n1, w1, -1.0)
-            w1, var1, mu1 = _sort_desc(key, w1, var1, mu1)
-
-            # new mode if no match (ZivkovicAGMM.cpp:266-349)
-            n2 = jnp.where(has_match, n1, jnp.minimum(n1 + 1, K))
-            slot = (idx == n2 - 1) & ~has_match
-            w2 = jnp.where(slot, jnp.where(n2 == 1, 1.0, alpha), w1)
-            active2 = idx < n2
-            total2 = jnp.sum(jnp.where(active2, w2, 0.0))
-            w2 = jnp.where(
-                active2 & ~has_match, w2 / jnp.maximum(total2, _EPS), w2
-            )
-            mu2 = jnp.where(slot[:, None], px[None, :], mu1)
-            var2 = jnp.where(slot, init_var, var1)
-            key2 = jnp.where(active2, w2, -1.0)
-            w2, var2, mu2 = _sort_desc(key2, w2, var2, mu2)
-
-            fg = jnp.where(bg_high, jnp.uint8(0), jnp.uint8(255))
-            return w2, var2, mu2, n2, fg, mu2[0]
-
-        w, var, mu, n, fg, bg = _vmap_pixels(
-            pixel, f, state["w"], state["var"], state["mu"], state["n"]
+            # prune (only unmatched modes check it, ZivkovicAGMM.cpp:229-255)
+            pk = active[k] & jnp.logical_not(is_match[k]) & (wk < -prune)
+            wk = jnp.where(pk, 0.0, wk)
+            pruned_n = pruned_n + pk.astype(jnp.int32)
+            w1.append(wk)
+        n1 = n - pruned_n
+        total = sum(jnp.where(active[k], w1[k], 0.0) for k in range(K))
+        w1 = [
+            jnp.where(active[k], w1[k] / jnp.maximum(total, _EPS), w1[k])
+            for k in range(K)
+        ]
+        # stable desc sort by weight == reference's bubble-up (module doc)
+        key = [jnp.where(n1 > k, w1[k], -1.0) for k in range(K)]
+        _, (w1, var1, *mus) = _sort_desc_maps(
+            key, [w1, var1] + [[mu[k][ci] for k in range(K)] for ci in range(C)]
         )
-        bg_u8 = bg.astype(jnp.uint8)
+        mu = [[mus[ci][k] for ci in range(C)] for k in range(K)]
+
+        # new mode if no match (ZivkovicAGMM.cpp:266-349)
+        n2 = jnp.where(has_match, n1, jnp.minimum(n1 + 1, K))
+        w2, var2 = [], []
+        for k in range(K):
+            slot = (n2 == k + 1) & jnp.logical_not(has_match)
+            w2.append(jnp.where(slot, jnp.where(n2 == 1, 1.0, alpha), w1[k]))
+            var2.append(jnp.where(slot, init_var, var1[k]))
+            for ci in range(C):
+                mu[k][ci] = jnp.where(slot, planes[ci], mu[k][ci])
+        active2 = [n2 > k for k in range(K)]
+        total2 = sum(jnp.where(active2[k], w2[k], 0.0) for k in range(K))
+        w2 = [
+            jnp.where(
+                active2[k] & jnp.logical_not(has_match),
+                w2[k] / jnp.maximum(total2, _EPS),
+                w2[k],
+            )
+            for k in range(K)
+        ]
+        key2 = [jnp.where(active2[k], w2[k], -1.0) for k in range(K)]
+        _, (w2, var2, *mus) = _sort_desc_maps(
+            key2, [w2, var2] + [[mu[k][ci] for k in range(K)] for ci in range(C)]
+        )
+        mu = [[mus[ci][k] for ci in range(C)] for k in range(K)]
+
+        fg = jnp.where(bg_high, jnp.uint8(0), jnp.uint8(255))
+        bg_u8 = jnp.stack([mu[0][ci] for ci in range(C)], axis=-1).astype(jnp.uint8)
         if frame.ndim == 2:
             bg_u8 = bg_u8[..., 0]
-        new_state = {"t": state["t"] + 1, "w": w, "var": var, "mu": mu, "n": n}
+        ws, vs, ms = _stack_state(w2, var2, mu)
+        new_state = {"t": state["t"] + 1, "w": ws, "var": vs, "mu": ms, "n": n2}
         return new_state, fg, bg_u8
 
 
@@ -280,7 +399,7 @@ class MOG2Config(BGSConfig):
 
 
 @register("MixtureOfGaussianV2BGS", type_id=5, aliases=("mog2",))
-class MixtureOfGaussianV2(BGSAlgorithm):
+class MixtureOfGaussianV2(_GMMBase):
     """OpenCV-MOG2-semantics GMM + the wrapper's binary threshold.
 
     Faithful details: first-frame learning rate is 1/min(2, history) = 0.5
@@ -289,115 +408,123 @@ class MixtureOfGaussianV2(BGSAlgorithm):
     """
 
     Config = MOG2Config
-
-    def init(self, h: int, w: int, c: int = 3) -> State:
-        K = self.config.nmixtures
-        c = max(c, 1)
-        return {
-            "t": jnp.zeros((), jnp.int32),
-            "w": jnp.zeros((h, w, K), jnp.float32),
-            "var": jnp.zeros((h, w, K), jnp.float32),
-            "mu": jnp.zeros((h, w, K, c), jnp.float32),
-            "n": jnp.zeros((h, w), jnp.int32),
-        }
+    K_FIELD = "nmixtures"
 
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         cfg = self.config
-        K = cfg.nmixtures
         Tb, TB, Tg = cfg.varThreshold, cfg.backgroundRatio, cfg.varThresholdGen
         tau = cfg.shadowThreshold
-        f = (frame if frame.ndim == 3 else frame[..., None]).astype(jnp.float32)
+        planes = _to_planes(frame)
         t = state["t"]
         # OpenCV lr schedule: lr given & nframes>1 ? lr : 1/min(2*nframes, history)
         alphaT = jnp.where(t == 0, 1.0 / min(2, cfg.history), cfg.alpha)
+        alpha1 = 1.0 - alphaT
+        prune = -alphaT * cfg.fCT
+        K, C, w, var, mu, n, dist, active = self._load(state, planes)
 
-        def pixel(px, w, var, mu, n, alphaT):
-            idx = jnp.arange(K)
-            active = idx < n
-            alpha1 = 1.0 - alphaT
-            prune = -alphaT * cfg.fCT
+        match = [(dist[k] < Tg * var[k]) & active[k] for k in range(K)]
+        has_match, is_match, considered = _first_match(match)
 
-            d = mu - px[None, :]
-            dist = jnp.sum(d * d, axis=1)
-            match = (dist < Tg * var) & active
-            has_match, first = _first_true(match)
-            is_match = match & (idx == first)
-            considered = jnp.where(has_match, idx <= first, True) & active
-
-            w1 = jnp.where(active, alpha1 * w + prune, w)
-            w1 = jnp.where(is_match, w1 + alphaT, w1)
-            # background test: running (exclusive) post-update weight < TB
-            excl = jnp.cumsum(w1) - w1
-            background = jnp.any((excl < TB) & (dist < Tb * var) & considered)
-
-            k = alphaT / jnp.maximum(w1, _EPS)  # k = alphaT/updated weight
-            mu1 = jnp.where(is_match[:, None], mu - k[:, None] * d, mu)
-            var1 = jnp.where(
-                is_match,
-                jnp.clip(var + k * (dist - var), cfg.varMin, cfg.varMax),
-                var,
+        w1 = []
+        for k in range(K):
+            wk = jnp.where(active[k], alpha1 * w[k] + prune, w[k])
+            w1.append(jnp.where(is_match[k], wk + alphaT, wk))
+        # background test: running (exclusive) post-update weight < TB
+        background = jnp.zeros_like(has_match)
+        excl = jnp.zeros_like(w1[0])
+        for k in range(K):
+            cons_k = jnp.where(has_match, considered[k], True) & active[k]
+            background = background | (
+                (excl < TB) & (dist[k] < Tb * var[k]) & cons_k
             )
-            pruned = active & ~is_match & (w1 < -prune)
-            w1 = jnp.where(pruned, 0.0, w1)
-            n1 = n - jnp.sum(pruned.astype(jnp.int32))
-            total = jnp.sum(jnp.where(active, w1, 0.0))
-            w1 = jnp.where(active, w1 / jnp.maximum(total, _EPS), w1)
-            key = jnp.where(idx < n1, w1, -1.0)
-            w1, var1, mu1 = _sort_desc(key, w1, var1, mu1)
+            excl = excl + w1[k]
 
-            # new mode: replace weakest when full; others scaled by (1-alphaT)
-            n2 = jnp.where(has_match, n1, jnp.minimum(n1 + 1, K))
-            slot = (idx == n2 - 1) & ~has_match
-            scale_others = (~has_match) & (n2 > 1)
-            w2 = jnp.where(scale_others & ~slot, w1 * alpha1, w1)
-            w2 = jnp.where(slot, jnp.where(n2 == 1, 1.0, alphaT), w2)
-            mu2 = jnp.where(slot[:, None], px[None, :], mu1)
-            var2 = jnp.where(slot, cfg.varInit, var1)
-            active2 = idx < n2
-            key2 = jnp.where(active2, w2, -1.0)
-            w2, var2, mu2 = _sort_desc(key2, w2, var2, mu2)
+        var1, pruned_n = [], jnp.zeros_like(n)
+        for k in range(K):
+            kk = alphaT / jnp.maximum(w1[k], _EPS)  # k = alphaT/updated weight
+            for ci in range(C):
+                mu[k][ci] = jnp.where(
+                    is_match[k],
+                    mu[k][ci] - kk * (mu[k][ci] - planes[ci]),
+                    mu[k][ci],
+                )
+            var1.append(
+                jnp.where(
+                    is_match[k],
+                    jnp.clip(var[k] + kk * (dist[k] - var[k]), cfg.varMin, cfg.varMax),
+                    var[k],
+                )
+            )
+            pk = active[k] & jnp.logical_not(is_match[k]) & (w1[k] < -prune)
+            w1[k] = jnp.where(pk, 0.0, w1[k])
+            pruned_n = pruned_n + pk.astype(jnp.int32)
+        n1 = n - pruned_n
+        total = sum(jnp.where(active[k], w1[k], 0.0) for k in range(K))
+        w1 = [
+            jnp.where(active[k], w1[k] / jnp.maximum(total, _EPS), w1[k])
+            for k in range(K)
+        ]
+        key = [jnp.where(n1 > k, w1[k], -1.0) for k in range(K)]
+        _, (w1, var1, *mus) = _sort_desc_maps(
+            key, [w1, var1] + [[mu[k][ci] for k in range(K)] for ci in range(C)]
+        )
+        mu = [[mus[ci][k] for ci in range(C)] for k in range(K)]
 
-            # shadow detection (OpenCV detectShadowGMM), on non-background px
-            if cfg.detectShadows:
-                excl2 = jnp.cumsum(w2) - w2
-                in_scope = (excl2 <= TB) & active2
-                numer = jnp.sum(px[None, :] * mu2, axis=1)
-                denom = jnp.sum(mu2 * mu2, axis=1)
+        # new mode: replace weakest when full; others scaled by (1-alphaT)
+        n2 = jnp.where(has_match, n1, jnp.minimum(n1 + 1, K))
+        scale_others = jnp.logical_not(has_match) & (n2 > 1)
+        w2, var2 = [], []
+        for k in range(K):
+            slot = (n2 == k + 1) & jnp.logical_not(has_match)
+            wk = jnp.where(scale_others & jnp.logical_not(slot), w1[k] * alpha1, w1[k])
+            w2.append(jnp.where(slot, jnp.where(n2 == 1, 1.0, alphaT), wk))
+            var2.append(jnp.where(slot, cfg.varInit, var1[k]))
+            for ci in range(C):
+                mu[k][ci] = jnp.where(slot, planes[ci], mu[k][ci])
+        active2 = [n2 > k for k in range(K)]
+        key2 = [jnp.where(active2[k], w2[k], -1.0) for k in range(K)]
+        _, (w2, var2, *mus) = _sort_desc_maps(
+            key2, [w2, var2] + [[mu[k][ci] for k in range(K)] for ci in range(C)]
+        )
+        mu = [[mus[ci][k] for ci in range(C)] for k in range(K)]
+
+        # shadow detection (OpenCV detectShadowGMM), on non-background px
+        if cfg.detectShadows:
+            is_shadow = jnp.zeros_like(has_match)
+            excl2 = jnp.zeros_like(w2[0])
+            for k in range(K):
+                in_scope = (excl2 <= TB) & active2[k]
+                numer = sum(planes[ci] * mu[k][ci] for ci in range(C))
+                denom = sum(mu[k][ci] * mu[k][ci] for ci in range(C))
                 a = numer / jnp.maximum(denom, _EPS)
-                da = a[:, None] * mu2 - px[None, :]
-                dist2a = jnp.sum(da * da, axis=1)
-                shadow_mode = (
+                dist2a = sum(
+                    (a * mu[k][ci] - planes[ci]) ** 2 for ci in range(C)
+                )
+                is_shadow = is_shadow | (
                     in_scope
                     & (denom > 0)
                     & (numer <= denom)
                     & (numer >= tau * denom)
-                    & (dist2a < Tb * var2 * a * a)
+                    & (dist2a < Tb * var2[k] * a * a)
                 )
-                is_shadow = jnp.any(shadow_mode) & ~background
-            else:
-                is_shadow = jnp.zeros((), bool)
+                excl2 = excl2 + w2[k]
+            is_shadow = is_shadow & jnp.logical_not(background)
+        else:
+            is_shadow = jnp.zeros_like(has_match)
 
-            raw = jnp.where(
-                background,
-                jnp.uint8(0),
-                jnp.where(is_shadow, jnp.uint8(cfg.shadowValue), jnp.uint8(255)),
-            )
-            return w2, var2, mu2, n2, raw, mu2[0]
-
-        w, var, mu, n, raw, bg = _vmap_pixels(
-            pixel,
-            f,
-            state["w"],
-            state["var"],
-            state["mu"],
-            state["n"],
-            jnp.broadcast_to(alphaT, f.shape[:2]),
+        raw = jnp.where(
+            background,
+            jnp.uint8(0),
+            jnp.where(is_shadow, jnp.uint8(cfg.shadowValue), jnp.uint8(255)),
         )
         fg = threshold_binary(raw, cfg.threshold) if cfg.enableThreshold else raw
-        bg_u8 = jnp.clip(bg, 0, 255).astype(jnp.uint8)
+        bg_u8 = jnp.clip(
+            jnp.stack([mu[0][ci] for ci in range(C)], axis=-1), 0, 255
+        ).astype(jnp.uint8)
         if frame.ndim == 2:
             bg_u8 = bg_u8[..., 0]
-        new_state = {"t": t + 1, "w": w, "var": var, "mu": mu, "n": n}
+        ws, vs, ms = _stack_state(w2, var2, mu)
+        new_state = {"t": t + 1, "w": ws, "var": vs, "mu": ms, "n": n2}
         return new_state, fg, bg_u8
 
 
@@ -419,7 +546,7 @@ class MOG1Config(BGSConfig):
 
 
 @register("MixtureOfGaussianV1BGS", type_id=4, aliases=("mog1", "mog"))
-class MixtureOfGaussianV1(BGSAlgorithm):
+class MixtureOfGaussianV1(_GMMBase):
     """KaewTraKulPong–Bowden adaptive mixture (legacy cv::BackgroundSubtractorMOG
     semantics): modes ordered by w/σ, per-pixel match within 2.5σ, matched mode
     updated with ρ = α/w; background = matched mode within the backgroundRatio
@@ -427,74 +554,93 @@ class MixtureOfGaussianV1(BGSAlgorithm):
     behaviorally (tests/test_bgs_gmm.py)."""
 
     Config = MOG1Config
-
-    def init(self, h: int, w: int, c: int = 3) -> State:
-        K = self.config.nmixtures
-        c = max(c, 1)
-        return {
-            "t": jnp.zeros((), jnp.int32),
-            "w": jnp.zeros((h, w, K), jnp.float32),
-            "var": jnp.zeros((h, w, K), jnp.float32),
-            "mu": jnp.zeros((h, w, K, c), jnp.float32),
-            "n": jnp.zeros((h, w), jnp.int32),
-        }
+    K_FIELD = "nmixtures"
 
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         cfg = self.config
-        K = cfg.nmixtures
         alpha, T, vT = cfg.alpha, cfg.backgroundRatio, cfg.varThreshold
         init_var = cfg.noiseSigma * cfg.noiseSigma
-        f = (frame if frame.ndim == 3 else frame[..., None]).astype(jnp.float32)
+        planes = _to_planes(frame)
+        K, C, w, var, mu, n, dist, active = self._load(state, planes)
 
-        def pixel(px, w, var, mu, n):
-            idx = jnp.arange(K)
-            active = idx < n
-            d = mu - px[None, :]
-            dist = jnp.sum(d * d, axis=1)
-            match = (dist < vT * var) & active
-            has_match, first = _first_true(match)
-            is_match = match & (idx == first)
+        match = [(dist[k] < vT * var[k]) & active[k] for k in range(K)]
+        has_match, is_match, _ = _first_match(match)
 
-            # background prefix by cumulative weight ≤ T (inclusive of the
-            # mode that crosses T, per the paper's B = argmin_b Σw > T)
-            excl = jnp.cumsum(w) - w
-            is_bg = (excl < T) & active
-            background = has_match & is_bg[first]
+        # background prefix by cumulative weight ≤ T (inclusive of the
+        # mode that crosses T, per the paper's B = argmin_b Σw > T)
+        excl = jnp.zeros_like(w[0])
+        background = jnp.zeros_like(has_match)
+        for k in range(K):
+            is_bg_k = (excl < T) & active[k]
+            background = background | (is_match[k] & is_bg_k)
+            excl = excl + w[k]
 
-            rho = alpha / jnp.maximum(w, _EPS)
-            w1 = jnp.where(active, (1.0 - alpha) * w, w)
-            w1 = jnp.where(is_match, w1 + alpha, w1)
-            mu1 = jnp.where(is_match[:, None], mu - rho[:, None] * d, mu)
-            var1 = jnp.where(
-                is_match,
-                jnp.clip(var + rho * (dist - var), 4.0, 5.0 * init_var),
-                var,
+        w1, var1 = [], []
+        for k in range(K):
+            rho = alpha / jnp.maximum(w[k], _EPS)
+            wk = jnp.where(active[k], (1.0 - alpha) * w[k], w[k])
+            w1.append(jnp.where(is_match[k], wk + alpha, wk))
+            for ci in range(C):
+                mu[k][ci] = jnp.where(
+                    is_match[k],
+                    mu[k][ci] - rho * (mu[k][ci] - planes[ci]),
+                    mu[k][ci],
+                )
+            var1.append(
+                jnp.where(
+                    is_match[k],
+                    jnp.clip(var[k] + rho * (dist[k] - var[k]), 4.0, 5.0 * init_var),
+                    var[k],
+                )
             )
-            total = jnp.sum(jnp.where(active, w1, 0.0))
-            w1 = jnp.where(active, w1 / jnp.maximum(total, _EPS), w1)
-            sig = jnp.where(active, w1 / jnp.sqrt(jnp.maximum(var1, _EPS)), -jnp.inf)
-            w1, var1, mu1 = _sort_desc(sig, w1, var1, mu1)
-
-            n2 = jnp.where(has_match, n, jnp.minimum(n + 1, K))
-            slot = (idx == n2 - 1) & ~has_match
-            w2 = jnp.where(slot, jnp.where(n2 == 1, 1.0, alpha), w1)
-            mu2 = jnp.where(slot[:, None], px[None, :], mu1)
-            var2 = jnp.where(slot, init_var, var1)
-            active2 = idx < n2
-            total2 = jnp.sum(jnp.where(active2, w2, 0.0))
-            w2 = jnp.where(active2, w2 / jnp.maximum(total2, _EPS), w2)
-            sig2 = jnp.where(active2, w2 / jnp.sqrt(jnp.maximum(var2, _EPS)), -jnp.inf)
-            w2, var2, mu2 = _sort_desc(sig2, w2, var2, mu2)
-
-            fg = jnp.where(background, jnp.uint8(0), jnp.uint8(255))
-            return w2, var2, mu2, n2, fg, mu2[0]
-
-        w, var, mu, n, raw, bg = _vmap_pixels(
-            pixel, f, state["w"], state["var"], state["mu"], state["n"]
+        total = sum(jnp.where(active[k], w1[k], 0.0) for k in range(K))
+        w1 = [
+            jnp.where(active[k], w1[k] / jnp.maximum(total, _EPS), w1[k])
+            for k in range(K)
+        ]
+        sig = [
+            jnp.where(
+                active[k], w1[k] / jnp.sqrt(jnp.maximum(var1[k], _EPS)), -jnp.inf
+            )
+            for k in range(K)
+        ]
+        _, (w1, var1, *mus) = _sort_desc_maps(
+            sig, [w1, var1] + [[mu[k][ci] for k in range(K)] for ci in range(C)]
         )
+        mu = [[mus[ci][k] for ci in range(C)] for k in range(K)]
+
+        n2 = jnp.where(has_match, n, jnp.minimum(n + 1, K))
+        w2, var2 = [], []
+        for k in range(K):
+            slot = (n2 == k + 1) & jnp.logical_not(has_match)
+            w2.append(jnp.where(slot, jnp.where(n2 == 1, 1.0, alpha), w1[k]))
+            var2.append(jnp.where(slot, init_var, var1[k]))
+            for ci in range(C):
+                mu[k][ci] = jnp.where(slot, planes[ci], mu[k][ci])
+        active2 = [n2 > k for k in range(K)]
+        total2 = sum(jnp.where(active2[k], w2[k], 0.0) for k in range(K))
+        w2 = [
+            jnp.where(active2[k], w2[k] / jnp.maximum(total2, _EPS), w2[k])
+            for k in range(K)
+        ]
+        sig2 = [
+            jnp.where(
+                active2[k], w2[k] / jnp.sqrt(jnp.maximum(var2[k], _EPS)), -jnp.inf
+            )
+            for k in range(K)
+        ]
+        _, (w2, var2, *mus) = _sort_desc_maps(
+            sig2, [w2, var2] + [[mu[k][ci] for k in range(K)] for ci in range(C)]
+        )
+        mu = [[mus[ci][k] for ci in range(C)] for k in range(K)]
+
+        raw = jnp.where(background, jnp.uint8(0), jnp.uint8(255))
         fg = threshold_binary(raw, cfg.threshold) if cfg.enableThreshold else raw
-        bg_u8 = jnp.clip(bg, 0, 255).astype(jnp.uint8)
+        bg_u8 = jnp.clip(
+            jnp.stack([mu[0][ci] for ci in range(C)], axis=-1), 0, 255
+        ).astype(jnp.uint8)
         if frame.ndim == 2:
             bg_u8 = bg_u8[..., 0]
-        new_state = {"t": state["t"] + 1, "w": w, "var": var, "mu": mu, "n": n}
+        ws, vs, ms = _stack_state(w2, var2, mu)
+        new_state = {"t": state["t"] + 1, "w": ws, "var": vs, "mu": ms, "n": n2}
         return new_state, fg, bg_u8
