@@ -42,6 +42,14 @@ import jax
 import jax.numpy as jnp
 
 from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
+from tracking_tpu.bgs.gmm import (
+    _first_match,
+    _sort_desc_maps,
+    _stack_state,
+    _to_planes,
+    _unstack3,
+    _unstack4,
+)
 from tracking_tpu.core.config import BGSConfig
 from tracking_tpu.core.registry import register
 
@@ -51,76 +59,25 @@ BG_THRESHOLD = 0.75  # T2FGMM.cpp:73
 INIT_VAR = 36.0  # T2FGMM.cpp:76
 
 
-def _h_um(px: jnp.ndarray, mu: jnp.ndarray, var: jnp.ndarray, km: float):
-    """Uncertain-mean membership bound, per channel ([K, C] inputs)."""
-    d = jnp.abs(mu - px[None, :])
-    outside = (px[None, :] < mu - km * var[:, None]) | (
-        px[None, :] > mu + km * var[:, None]
-    )
-    v = var[:, None]
-    far = 2.0 * km * d / v
-    near = d * d / (2.0 * v * v) + km * d / v + 0.5 * km * km
-    return jnp.where(outside, far, near)
-
-
-def _h_uv(px: jnp.ndarray, mu: jnp.ndarray, var: jnp.ndarray, kv: float):
-    """Uncertain-variance membership bound, per channel."""
-    d = px[None, :] - mu
-    return (1.0 / (kv * kv) - kv * kv) * d * d / (2.0 * var[:, None])
-
-
-def _t2f_pixel(px, w, var, mu, n, *, K, alpha, low_thr, high_thr, um, km, kv):
-    """One pixel's T2FGMM update. Returns (w, var, mu, n, bg_low, bg_high, bgpx).
-
-    Vectorization of ``T2FGMM::SubtractPixel`` (``T2FGMM.cpp:105-289``): the
-    first-match scan becomes match-mask + argmax; the two qsorts collapse into
-    stable descending sorts (decay is order-preserving and the new mode is
-    appended last, exactly like the C++).
-    """
-    idx = jnp.arange(K)
-    active = idx < n
-    excl = jnp.cumsum(w) - w  # exclusive prefix of pre-update weights
-    is_bg = (excl < BG_THRESHOLD) & active
-
-    H = _h_um(px, mu, var, km) if um else _h_uv(px, mu, var, kv)
-    dist = jnp.sum(H * H, axis=1)
-
-    match = (dist < low_thr * var) & active
-    has_match, first = jnp.any(match), jnp.argmax(match)
-    is_match = match & (idx == first)
-    # high check only runs for modes visited before the first match
-    considered = jnp.where(has_match, idx <= first, True) & active
-    bg_high = jnp.any((dist < high_thr * var) & is_bg & considered)
-    bg_low = has_match & is_bg[first]
-
-    d_abs = jnp.abs(mu - px[None, :])
-    k = alpha / jnp.maximum(w, _EPS)
-    w1 = jnp.where(active, (1.0 - alpha) * w, w)
-    w1 = jnp.where(is_match, w1 + alpha, w1)
-    mu1 = jnp.where(is_match[:, None], mu - k[:, None] * d_abs, mu)
-    var1 = jnp.where(
-        is_match, jnp.clip(var + k * (dist - var), 4.0, 5.0 * INIT_VAR), var
-    )
-    total = jnp.sum(jnp.where(active, w1, 0.0))
-    w1 = jnp.where(active, w1 / jnp.maximum(total, _EPS), w1)
-    sig = jnp.where(active, w1 / jnp.sqrt(jnp.maximum(var1, _EPS)), -jnp.inf)
-    order = jnp.argsort(-sig, stable=True)
-    w1, var1, mu1 = w1[order], var1[order], mu1[order]
-
-    # new mode on no-match (T2FGMM.cpp:234-280)
-    n1 = jnp.where(has_match, n, jnp.minimum(n + 1, K))
-    slot = (idx == n1 - 1) & ~has_match
-    w2 = jnp.where(slot, jnp.where(n1 == 1, 1.0, alpha), w1)
-    mu2 = jnp.where(slot[:, None], px[None, :], mu1)
-    var2 = jnp.where(slot, INIT_VAR, var1)
-    active2 = idx < n1
-    total2 = jnp.sum(jnp.where(active2, w2, 0.0))
-    w2 = jnp.where(active2, w2 / jnp.maximum(total2, _EPS), w2)
-    sig2 = jnp.where(active2, w2 / jnp.sqrt(jnp.maximum(var2, _EPS)), -jnp.inf)
-    order2 = jnp.argsort(-sig2, stable=True)
-    w2, var2, mu2 = w2[order2], var2[order2], mu2[order2]
-
-    return w2, var2, mu2, n1, bg_low, bg_high, mu2[0]
+def _membership_dist(planes, mu_k, var_k, um, km, kv):
+    """Σ_c H_c² for one mode: type-2 fuzzy membership bound (T2FGMM.cpp:157-182).
+    Whole-map ops on [H, W] planes (mode-major layout — see gmm.py module doc
+    for why the per-pixel-vmap formulation was ~80× slower)."""
+    total = None
+    for ci in range(len(planes)):
+        if um:
+            d = jnp.abs(mu_k[ci] - planes[ci])
+            outside = (planes[ci] < mu_k[ci] - km * var_k) | (
+                planes[ci] > mu_k[ci] + km * var_k
+            )
+            far = 2.0 * km * d / var_k
+            near = d * d / (2.0 * var_k * var_k) + km * d / var_k + 0.5 * km * km
+            h = jnp.where(outside, far, near)
+        else:
+            d = planes[ci] - mu_k[ci]
+            h = (1.0 / (kv * kv) - kv * kv) * d * d / (2.0 * var_k)
+        total = h * h if total is None else total + h * h
+    return total
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,31 +99,110 @@ class _T2FGMMBase(BGSAlgorithm):
         c = max(c, 1)
         return {
             "t": jnp.zeros((), jnp.int32),
-            "w": jnp.zeros((h, w, K), jnp.float32),
-            "var": jnp.zeros((h, w, K), jnp.float32),
-            "mu": jnp.zeros((h, w, K, c), jnp.float32),
+            "w": jnp.zeros((K, h, w), jnp.float32),
+            "var": jnp.zeros((K, h, w), jnp.float32),
+            "mu": jnp.zeros((K, c, h, w), jnp.float32),
             "n": jnp.zeros((h, w), jnp.int32),
         }
 
     def _subtract(self, state, frame):
+        """Vectorization of ``T2FGMM::SubtractPixel`` (``T2FGMM.cpp:105-289``)
+        in the gmm.py mode-major skeleton: running prefix masks instead of the
+        first-match scan, odd-even-network stable sorts instead of qsort."""
         cfg = self.config
-        f = (frame if frame.ndim == 3 else frame[..., None]).astype(jnp.float32)
+        K, alpha = cfg.gaussians, cfg.alpha
+        low_thr, high_thr = cfg.threshold, 2.0 * cfg.threshold
+        planes = _to_planes(frame)
+        C = len(planes)
+        w = _unstack3(state["w"], K)
+        var = _unstack3(state["var"], K)
+        mu = _unstack4(state["mu"], K, C)
+        n = state["n"]
+        active = [n > k for k in range(K)]
 
-        def pixel(px, w, var, mu, n):
-            return _t2f_pixel(
-                px, w, var, mu, n,
-                K=cfg.gaussians, alpha=cfg.alpha,
-                low_thr=cfg.threshold, high_thr=2.0 * cfg.threshold,
-                um=self.UM, km=cfg.km, kv=cfg.kv,
+        excl = jnp.zeros_like(w[0])  # exclusive prefix of pre-update weights
+        is_bg = []
+        for k in range(K):
+            is_bg.append((excl < BG_THRESHOLD) & active[k])
+            excl = excl + w[k]
+
+        dist = [
+            _membership_dist(planes, mu[k], var[k], self.UM, cfg.km, cfg.kv)
+            for k in range(K)
+        ]
+        match = [(dist[k] < low_thr * var[k]) & active[k] for k in range(K)]
+        has_match, is_match, considered = _first_match(match)
+        # high check only runs for modes visited before the first match
+        bg_high = jnp.zeros_like(has_match)
+        bg_low = jnp.zeros_like(has_match)
+        for k in range(K):
+            cons_k = jnp.where(has_match, considered[k], True) & active[k]
+            bg_high = bg_high | ((dist[k] < high_thr * var[k]) & is_bg[k] & cons_k)
+            bg_low = bg_low | (is_match[k] & is_bg[k])
+
+        w1, var1 = [], []
+        for k in range(K):
+            kk = alpha / jnp.maximum(w[k], _EPS)
+            wk = jnp.where(active[k], (1.0 - alpha) * w[k], w[k])
+            w1.append(jnp.where(is_match[k], wk + alpha, wk))
+            for ci in range(C):
+                # faithful quirk: mean moves by −k·|d| regardless of side
+                d_abs = jnp.abs(mu[k][ci] - planes[ci])
+                mu[k][ci] = jnp.where(is_match[k], mu[k][ci] - kk * d_abs, mu[k][ci])
+            var1.append(
+                jnp.where(
+                    is_match[k],
+                    jnp.clip(var[k] + kk * (dist[k] - var[k]), 4.0, 5.0 * INIT_VAR),
+                    var[k],
+                )
             )
-
-        w, var, mu, n, bg_low, bg_high, bg = jax.vmap(jax.vmap(pixel))(
-            f, state["w"], state["var"], state["mu"], state["n"]
+        total = sum(jnp.where(active[k], w1[k], 0.0) for k in range(K))
+        w1 = [
+            jnp.where(active[k], w1[k] / jnp.maximum(total, _EPS), w1[k])
+            for k in range(K)
+        ]
+        sig = [
+            jnp.where(
+                active[k], w1[k] / jnp.sqrt(jnp.maximum(var1[k], _EPS)), -jnp.inf
+            )
+            for k in range(K)
+        ]
+        _, (w1, var1, *mus) = _sort_desc_maps(
+            sig, [w1, var1] + [[mu[k][ci] for k in range(K)] for ci in range(C)]
         )
-        bg_u8 = bg.astype(jnp.uint8)
+        mu = [[mus[ci][k] for ci in range(C)] for k in range(K)]
+
+        # new mode on no-match (T2FGMM.cpp:234-280)
+        n1 = jnp.where(has_match, n, jnp.minimum(n + 1, K))
+        w2, var2 = [], []
+        for k in range(K):
+            slot = (n1 == k + 1) & jnp.logical_not(has_match)
+            w2.append(jnp.where(slot, jnp.where(n1 == 1, 1.0, alpha), w1[k]))
+            var2.append(jnp.where(slot, INIT_VAR, var1[k]))
+            for ci in range(C):
+                mu[k][ci] = jnp.where(slot, planes[ci], mu[k][ci])
+        active2 = [n1 > k for k in range(K)]
+        total2 = sum(jnp.where(active2[k], w2[k], 0.0) for k in range(K))
+        w2 = [
+            jnp.where(active2[k], w2[k] / jnp.maximum(total2, _EPS), w2[k])
+            for k in range(K)
+        ]
+        sig2 = [
+            jnp.where(
+                active2[k], w2[k] / jnp.sqrt(jnp.maximum(var2[k], _EPS)), -jnp.inf
+            )
+            for k in range(K)
+        ]
+        _, (w2, var2, *mus) = _sort_desc_maps(
+            sig2, [w2, var2] + [[mu[k][ci] for k in range(K)] for ci in range(C)]
+        )
+        mu = [[mus[ci][k] for ci in range(C)] for k in range(K)]
+
+        bg_u8 = jnp.stack([mu[0][ci] for ci in range(C)], axis=-1).astype(jnp.uint8)
         if frame.ndim == 2:
             bg_u8 = bg_u8[..., 0]
-        return w, var, mu, n, bg_low, bg_high, bg_u8
+        ws, vs, ms = _stack_state(w2, var2, mu)
+        return ws, vs, ms, n1, bg_low, bg_high, bg_u8
 
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         w, var, mu, n, _bg_low, bg_high, bg_u8 = self._subtract(state, frame)
@@ -243,8 +279,8 @@ class _T2FMRFBase(_T2FGMMBase):
             from tracking_tpu.ops.mrf import icm_relax
 
             f3 = frame if frame.ndim == 3 else frame[..., None]
-            mu0 = jnp.mean(mu[:, :, 0, :], axis=-1)
-            var0 = jnp.maximum(var[:, :, 0], 1.0)
+            mu0 = jnp.mean(mu[0], axis=0)  # mode 0 mean over channels
+            var0 = jnp.maximum(var[0], 1.0)
             smoothed = icm_relax(
                 fg, f3.astype(jnp.float32).mean(-1), mu0, var0,
                 state["old_labeling"], enabled=state["t"] >= 10,
