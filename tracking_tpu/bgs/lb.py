@@ -209,13 +209,17 @@ class LBMixtureOfGaussians(BGSAlgorithm):
         return thr, T, alpha, noise
 
     def init(self, h: int, w: int, c: int = 3) -> State:
+        # mode-major [K, H, W] (K-minor layouts tile 3 modes onto 128 lanes
+        # at 2% efficiency — see gmm.py module doc)
         c = max(c, 1)
         K = self.K
         return {
             "t": jnp.zeros((), jnp.int32),
-            "mu": tuple(jnp.zeros((h, w, K), jnp.float32) for _ in range(c)),
-            "var": tuple(jnp.full((h, w, K), self.INIT_NOISE, jnp.float32) for _ in range(c)),
-            "w": jnp.zeros((h, w, K), jnp.float32),
+            "mu": tuple(jnp.zeros((K, h, w), jnp.float32) for _ in range(c)),
+            "var": tuple(
+                jnp.full((K, h, w), self.INIT_NOISE, jnp.float32) for _ in range(c)
+            ),
+            "w": jnp.zeros((K, h, w), jnp.float32),
             "n": jnp.zeros((h, w), jnp.int32),
         }
 
@@ -225,107 +229,137 @@ class LBMixtureOfGaussians(BGSAlgorithm):
         src = _to_f32_channels(frame)
         c = len(src)
         t = state["t"]
-        idx = jnp.arange(K)
 
         # frame-0 init: mode 0 = frame, w=1 (Init(), BGModelMog.cpp:111-140)
-        mu = tuple(
-            jnp.where(t == 0, src[i][..., None] * (idx == 0), state["mu"][i])
+        mu = [
+            [
+                jnp.where(t == 0, src[i] if k == 0 else 0.0, state["mu"][i][k])
+                for k in range(K)
+            ]
             for i in range(c)
-        )
-        var = tuple(
-            jnp.where(t == 0, jnp.full_like(state["var"][i], self.INIT_NOISE), state["var"][i])
+        ]
+        var = [
+            [
+                jnp.where(t == 0, self.INIT_NOISE, state["var"][i][k])
+                for k in range(K)
+            ]
             for i in range(c)
-        )
-        w = jnp.where(t == 0, (idx == 0).astype(jnp.float32), state["w"])
+        ]
+        w = [
+            jnp.where(t == 0, 1.0 if k == 0 else 0.0, state["w"][k])
+            for k in range(K)
+        ]
         n = jnp.where(t == 0, 1, state["n"])
 
-        active = idx[None, None] < n[..., None]
-        d2 = sum(
-            jnp.square(src[i][..., None] - mu[i]) / var[i] for i in range(c)
-        )
-        match = (d2 < thr) & active
-        has_match = jnp.any(match, axis=-1)
-        first = jnp.argmax(match, axis=-1)
+        active = [n > k for k in range(K)]
+        d2 = [
+            sum(jnp.square(src[i] - mu[i][k]) / var[i][k] for i in range(c))
+            for k in range(K)
+        ]
+        match = [(d2[k] < thr) & active[k] for k in range(K)]
+        # first match as a running prefix
+        none_before = jnp.ones_like(match[0])
+        is_first = []
+        for k in range(K):
+            is_first.append(match[k] & none_before)
+            none_before = none_before & jnp.logical_not(match[k])
+        has_match = jnp.logical_not(none_before)
 
         # new-mode slot when no match (BGModelMog.cpp:231-251)
         n2 = jnp.where(has_match, n, jnp.minimum(n + 1, K))
-        k_hit = jnp.where(has_match, first, n2 - 1)
-        is_hit = idx[None, None] == k_hit[..., None]
-        active2 = idx[None, None] < n2[..., None]
+        first_idx = sum(
+            jnp.where(is_first[k], k, 0) for k in range(K)
+        )
+        k_hit = jnp.where(has_match, first_idx, n2 - 1)
+        is_hit = [k_hit == k for k in range(K)]
+        active2 = [n2 > k for k in range(K)]
 
-        # matched-path updates
-        w_m = jnp.where(is_hit, w + alpha * (1.0 - w), (1.0 - alpha) * w)
-        mu_m, var_m = [], []
+        # matched-path vs new-mode path per slot
+        new_w = jnp.where(n2 == 1, 1.0, self.NEW_WEIGHT)
+        w2 = []
+        for k in range(K):
+            w_m = jnp.where(is_hit[k], w[k] + alpha * (1.0 - w[k]), (1.0 - alpha) * w[k])
+            w2.append(
+                jnp.where(has_match, w_m, jnp.where(is_hit[k], new_w, w[k]))
+            )
+        mu2, var2 = [], []
         for i in range(c):
-            d = src[i][..., None] - mu[i]
-            mu_i = jnp.where(is_hit, mu[i] + alpha * d, mu[i])
-            var_i = jnp.where(
-                is_hit,
-                jnp.maximum(
-                    var[i] + alpha * (jnp.square(src[i][..., None] - mu_i) - var[i]),
-                    noise,
-                ),
-                var[i],
-            )
-            mu_m.append(mu_i)
-            var_m.append(var_i)
-
-        # no-match path: new mode at k_hit (w=1 if n2==1 else NEW_WEIGHT)
-        new_w = jnp.where(n2[..., None] == 1, 1.0, self.NEW_WEIGHT)
-        w2 = jnp.where(has_match[..., None], w_m, jnp.where(is_hit, new_w, w))
-        mu2 = tuple(
-            jnp.where(
-                has_match[..., None],
-                mu_m[i],
-                jnp.where(is_hit, src[i][..., None], mu[i]),
-            )
-            for i in range(c)
-        )
-        var2 = tuple(
-            jnp.where(
-                has_match[..., None],
-                var_m[i],
-                jnp.where(is_hit, noise, var[i]),
-            )
-            for i in range(c)
-        )
+            mu_i, var_i = [], []
+            for k in range(K):
+                d = src[i] - mu[i][k]
+                mu_m = jnp.where(is_hit[k], mu[i][k] + alpha * d, mu[i][k])
+                var_m = jnp.where(
+                    is_hit[k],
+                    jnp.maximum(
+                        var[i][k] + alpha * (jnp.square(src[i] - mu_m) - var[i][k]),
+                        noise,
+                    ),
+                    var[i][k],
+                )
+                mu_i.append(
+                    jnp.where(has_match, mu_m, jnp.where(is_hit[k], src[i], mu[i][k]))
+                )
+                var_i.append(
+                    jnp.where(has_match, var_m, jnp.where(is_hit[k], noise, var[i][k]))
+                )
+            mu2.append(mu_i)
+            var2.append(var_i)
 
         # normalize + sort key (BGModelMog.cpp:253-263)
-        total = jnp.sum(jnp.where(active2, w2, 0.0), axis=-1, keepdims=True)
-        w2 = jnp.where(active2, w2 / jnp.maximum(total, 1e-12), w2)
-        sort_key = w2 / jnp.sqrt(sum(var2[i] for i in range(c)))
+        total = sum(jnp.where(active2[k], w2[k], 0.0) for k in range(K))
+        w2 = [
+            jnp.where(active2[k], w2[k] / jnp.maximum(total, 1e-12), w2[k])
+            for k in range(K)
+        ]
+        sort_key = [
+            w2[k] / jnp.sqrt(sum(var2[i][k] for i in range(c))) for k in range(K)
+        ]
 
         # single-swap partial sort: swap k_hit with the FIRST j < k_hit whose
-        # key it beats (BGModelMog.cpp:267-274)
-        key_hit = jnp.take_along_axis(sort_key, k_hit[..., None], axis=-1)
-        beats = (idx[None, None] < k_hit[..., None]) & (key_hit > sort_key)
-        any_beat = jnp.any(beats, axis=-1)
-        j_swap = jnp.argmax(beats, axis=-1)
-        perm = jnp.broadcast_to(idx, sort_key.shape)
-        # perm[k_hit] = j_swap, perm[j_swap] = k_hit where any_beat
-        perm = jnp.where(
-            any_beat[..., None] & (idx[None, None] == k_hit[..., None]),
-            j_swap[..., None],
-            perm,
-        )
-        perm = jnp.where(
-            any_beat[..., None] & (idx[None, None] == j_swap[..., None]),
-            k_hit[..., None],
-            perm,
-        )
-        w3 = jnp.take_along_axis(w2, perm, axis=-1)
-        mu3 = tuple(jnp.take_along_axis(mu2[i], perm, axis=-1) for i in range(c))
-        var3 = tuple(jnp.take_along_axis(var2[i], perm, axis=-1) for i in range(c))
+        # key it beats (BGModelMog.cpp:267-274) — select form, no gathers
+        key_hit = sum(jnp.where(is_hit[k], sort_key[k], 0.0) for k in range(K))
+        none_beat_before = jnp.ones_like(has_match)
+        is_jswap = []
+        for k in range(K):
+            beats_k = (k_hit > k) & (key_hit > sort_key[k])
+            is_jswap.append(beats_k & none_beat_before)
+            none_beat_before = none_beat_before & jnp.logical_not(beats_k)
+        any_beat = jnp.logical_not(none_beat_before)
+
+        def swap(arrs):
+            val_hit = sum(jnp.where(is_hit[k], arrs[k], 0.0) for k in range(K))
+            val_js = sum(jnp.where(is_jswap[k], arrs[k], 0.0) for k in range(K))
+            out = []
+            for k in range(K):
+                v = jnp.where(any_beat & is_hit[k], val_js, arrs[k])
+                v = jnp.where(any_beat & is_jswap[k], val_hit, v)
+                out.append(v)
+            return out
+
+        w3 = swap(w2)
+        mu3 = [swap(mu2[i]) for i in range(c)]
+        var3 = [swap(var2[i]) for i in range(c)]
 
         # background prefix: first k with cumsum(w) > T (post-swap order);
         # FG iff the *pre-swap* hit index > kBG (:278-294)
-        cum = jnp.cumsum(jnp.where(active2, w3, 0.0), axis=-1)
-        over = cum > T
-        k_bg = jnp.where(jnp.any(over, axis=-1), jnp.argmax(over, axis=-1), K - 1)
+        cum = jnp.zeros_like(w3[0])
+        k_bg = jnp.full_like(n2, K - 1)
+        found = jnp.zeros_like(has_match)
+        for k in range(K):
+            cum = cum + jnp.where(active2[k], w3[k], 0.0)
+            over = (cum > T) & jnp.logical_not(found)
+            k_bg = jnp.where(over, k, k_bg)
+            found = found | over
         fg = jnp.where(k_hit > k_bg, jnp.uint8(255), jnp.uint8(0))
 
-        bg = _bg_u8(tuple(mu3[i][..., 0] for i in range(c)), frame.ndim == 2)
-        new_state = {"t": t + 1, "mu": mu3, "var": var3, "w": w3, "n": n2}
+        bg = _bg_u8(tuple(mu3[i][0] for i in range(c)), frame.ndim == 2)
+        new_state = {
+            "t": t + 1,
+            "mu": tuple(jnp.stack(mu3[i]) for i in range(c)),
+            "var": tuple(jnp.stack(var3[i]) for i in range(c)),
+            "w": jnp.stack(w3),
+            "n": n2,
+        }
         return new_state, fg, bg
 
 
@@ -420,9 +454,10 @@ class _SOMBase(BGSAlgorithm):
                 dy = cy - by  # [H, W]
                 dx = cx - bx
                 in_win = (jnp.abs(dy) <= 1) & (jnp.abs(dx) <= 1) & do_update
-                wgt = jnp.asarray(_SOM_KERNEL)[
-                    jnp.clip(dy + 1, 0, 2), jnp.clip(dx + 1, 0, 2)
-                ]
+                # separable kernel [1,2,1]⊗[1,2,1] as selects — the previous
+                # per-pixel table indexing was 27 [H,W] gathers/frame (~25 ms
+                # each on TPU); only |d|≤1 matters under in_win
+                wgt = jnp.where(dy == 0, 2.0, 1.0) * jnp.where(dx == 0, 2.0, 1.0)
                 a = a_eff * wgt
                 planes.append(
                     jnp.where(in_win, som[i][g] + a * (src[i] - som[i][g]), som[i][g])
@@ -430,9 +465,14 @@ class _SOMBase(BGSAlgorithm):
             new_som.append(jnp.stack(planes, axis=0))
         new_som = tuple(new_som)
 
-        # background image: BMU value where updated/BG, else previous
+        # background image: BMU value where updated/BG, else previous.
+        # One-hot select over the G=9 grid cells (take_along_axis is a
+        # full-map gather on TPU).
         bmu_val = tuple(
-            jnp.take_along_axis(new_som[i], bmu[None], axis=0)[0] for i in range(c)
+            sum(
+                jnp.where(bmu == g, new_som[i][g], 0.0) for g in range(G)
+            )
+            for i in range(c)
         )
         show_bg = ~is_fg
         bg_t = tuple(
