@@ -21,8 +21,10 @@ The reference's ``getBackgroundImage`` is unimplemented in OpenCV 2.4 (the
 wrapper's bg output stays empty, ``GMG.cpp:57-58``); we emit zeros.
 
 TPU mapping: the per-pixel list ops (find / move-to-front / evict) are
-branch-free index arithmetic over a fixed [maxFeatures] axis, vmapped over
-pixels; everything fuses into a few VPU passes.
+branch-free whole-map selects over a FEATURE-MAJOR [maxFeatures, H, W]
+bank with the K=64 loop statically unrolled. (The earlier per-pixel-vmap
+formulation put K minor — poor lane tiling — and its list indexing became
+per-pixel gathers; 52 ms/frame at 720p, ~20× slower. See PERF.md.)
 """
 
 from __future__ import annotations
@@ -70,8 +72,8 @@ class GMG(BGSAlgorithm):
         return {
             "t": jnp.zeros((), jnp.int32),
             # colors are u32 codes; empty slots hold the sentinel 0xFFFFFFFF
-            "colors": jnp.full((h, w, K), 0xFFFFFFFF, jnp.uint32),
-            "weights": jnp.zeros((h, w, K), jnp.float32),
+            "colors": jnp.full((K, h, w), 0xFFFFFFFF, jnp.uint32),
+            "weights": jnp.zeros((K, h, w), jnp.float32),
             "nf": jnp.zeros((h, w), jnp.int32),
         }
 
@@ -82,66 +84,80 @@ class GMG(BGSAlgorithm):
         code = _quantize(frame, cfg.quantizationLevels)
         training = t < cfg.initializationFrames
 
-        def pixel(c, colors, weights, nf):
-            idx = jnp.arange(K)
-            found = (colors == c) & (idx < nf)
-            has = jnp.any(found)
-            fi = jnp.argmax(found)
+        colors = [state["colors"][k] for k in range(K)]
+        weights = [state["weights"][k] for k in range(K)]
+        nf = state["nf"]
 
-            # ---- inference (typical mode) ----
-            w_match = jnp.where(has, weights[fi], 0.0)
-            post = (w_match * prior) / (
-                w_match * prior + (1.0 - w_match) * (1.0 - prior)
-            )
-            is_fg = (~training) & ((1.0 - post) > cfg.decisionThreshold)
+        # find: codes are unique within a pixel's list, so `found` is one-hot
+        found = [(colors[k] == code) & (nf > k) for k in range(K)]
+        none_before = jnp.ones_like(found[0])  # k <= fi  ⇔  no find before k
+        upto_first = []
+        for k in range(K):
+            upto_first.append(none_before)
+            none_before = none_before & jnp.logical_not(found[k])
+        has = jnp.logical_not(none_before)
 
-            # ---- histogram update ----
-            insert_w = jnp.where(training, 1.0, lr)
-            dec = jnp.where(training, weights, weights * (1.0 - lr))
-            # value placed at the front slot
-            front_w = jnp.where(has, insert_w + dec[fi], insert_w)
-            # position the existing entries shift out of:
-            #  found      → entries [0, fi) shift right by one
-            #  not found:
-            #    nf < K   → nothing shifts (append at index nf... but OpenCV
-            #               appends at the END in that case, no move-to-front)
-            #    nf == K  → entries [0, K-1) shift right (evict last)
-            shift_upto = jnp.where(has, fi, jnp.where(nf >= K, K - 1, 0))
-            prev = jnp.maximum(idx - 1, 0)
-            shifted_c = jnp.where(
-                (idx >= 1) & (idx <= shift_upto), colors[prev], colors
-            )
-            shifted_w = jnp.where((idx >= 1) & (idx <= shift_upto), dec[prev], dec)
-            use_front = has | (nf >= K)
-            new_colors = jnp.where(
-                use_front & (idx == 0), c, shifted_c
-            )
-            new_weights = jnp.where(use_front & (idx == 0), front_w, shifted_w)
-            # append path (not found, room left): write at index nf
-            appended = (~use_front)
-            new_colors = jnp.where(appended & (idx == nf), c, new_colors)
-            new_weights = jnp.where(appended & (idx == nf), front_w, new_weights)
-            nf1 = jnp.where(appended, nf + 1, nf)
-
-            # normalization: on growth (typical mode) or at end of training
-            grew = appended & (~training)
-            end_train = t == cfg.initializationFrames - 1
-            do_norm = grew | end_train
-            total = jnp.sum(jnp.where(idx < nf1, new_weights, 0.0))
-            new_weights = jnp.where(
-                do_norm, new_weights / jnp.maximum(total, 1e-20), new_weights
-            )
-            return new_colors, new_weights, nf1, is_fg
-
-        colors, weights, nf, is_fg = jax.vmap(jax.vmap(pixel))(
-            code, state["colors"], state["weights"], state["nf"]
+        # ---- inference (typical mode) ----
+        w_match = sum(jnp.where(found[k], weights[k], 0.0) for k in range(K))
+        post = (w_match * prior) / (
+            w_match * prior + (1.0 - w_match) * (1.0 - prior)
         )
+        is_fg = jnp.logical_not(training) & ((1.0 - post) > cfg.decisionThreshold)
+
+        # ---- histogram update ----
+        insert_w = jnp.where(training, 1.0, lr)
+        dec = [
+            jnp.where(training, weights[k], weights[k] * (1.0 - lr))
+            for k in range(K)
+        ]
+        front_w = insert_w + sum(
+            jnp.where(found[k], dec[k], 0.0) for k in range(K)
+        )
+        full = nf >= K
+        use_front = has | full
+        appended = jnp.logical_not(use_front)
+        # shift condition for slot k ≥ 1:
+        #  found  → slots [1, fi] take the previous slot (move-to-front)
+        #  full   → slots [1, K-1] shift (evict last)
+        new_colors, new_weights = [], []
+        for k in range(K):
+            if k == 0:
+                ck = jnp.where(use_front, code, colors[0])
+                wk = jnp.where(use_front, front_w, dec[0])
+            else:
+                shift_k = (has & upto_first[k]) | (jnp.logical_not(has) & full)
+                ck = jnp.where(shift_k, colors[k - 1], colors[k])
+                wk = jnp.where(shift_k, dec[k - 1], dec[k])
+            # append path (not found, room left): write at index nf
+            ck = jnp.where(appended & (nf == k), code, ck)
+            wk = jnp.where(appended & (nf == k), front_w, wk)
+            new_colors.append(ck)
+            new_weights.append(wk)
+        nf1 = jnp.where(appended, nf + 1, nf)
+
+        # normalization: on growth (typical mode) or at end of training
+        grew = appended & jnp.logical_not(training)
+        end_train = t == cfg.initializationFrames - 1
+        do_norm = grew | end_train
+        total = sum(
+            jnp.where(nf1 > k, new_weights[k], 0.0) for k in range(K)
+        )
+        new_weights = [
+            jnp.where(do_norm, new_weights[k] / jnp.maximum(total, 1e-20), new_weights[k])
+            for k in range(K)
+        ]
+
         fg = jnp.where(is_fg, jnp.uint8(255), jnp.uint8(0))
         if cfg.smoothingRadius > 0:
             fg = binary_median_blur(fg, cfg.smoothingRadius)
         bg = jnp.zeros(frame.shape, jnp.uint8)
         return (
-            {"t": t + 1, "colors": colors, "weights": weights, "nf": nf},
+            {
+                "t": t + 1,
+                "colors": jnp.stack(new_colors),
+                "weights": jnp.stack(new_weights),
+                "nf": nf1,
+            },
             fg,
             bg,
         )

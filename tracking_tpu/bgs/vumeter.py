@@ -69,11 +69,17 @@ class VuMeter(BGSAlgorithm):
         onehot = bin_idx[None] == jnp.arange(bins)[:, None, None]
         hist = hist + jnp.where(onehot, 1.0 - cfg.alpha, 0.0)
 
-        cur_mass = jnp.take_along_axis(hist, bin_idx[None], axis=0)[0]
+        # one-hot reductions over the (static) bin axis — take_along_axis is
+        # a per-pixel gather, ~25 ms/frame each at 720p on TPU
+        cur_mass = sum(
+            jnp.where(bin_idx == b, hist[b], 0.0) for b in range(bins)
+        )
         fg = jnp.where(cur_mass < cfg.threshold, jnp.uint8(255), jnp.uint8(0))
 
         bg_bin = jnp.clip(bg.astype(jnp.int32) // cfg.binSize, 0, bins - 1)
-        bg_mass = jnp.take_along_axis(hist, bg_bin[None], axis=0)[0]
+        bg_mass = sum(
+            jnp.where(bg_bin == b, hist[b], 0.0) for b in range(bins)
+        )
         new_bg = jnp.where(bg_mass < cur_mass, gray, bg)
 
         # first 5 frames: mask forced empty (m_nCount < 5, :314-315)
