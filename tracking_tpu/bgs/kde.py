@@ -78,8 +78,8 @@ def _kernel_tables():
 _C1N, _C2 = _kernel_tables()
 
 
-def bgr_to_sngnrn(frame: jnp.ndarray) -> jnp.ndarray:
-    """BGR2SnGnRn (NPBGSubtractor.cpp:64-93): [s, g-ratio, r-ratio] u8."""
+def bgr_to_sngnrn(frame: jnp.ndarray):
+    """BGR2SnGnRn (NPBGSubtractor.cpp:64-93): (s, g-ratio, r-ratio) u8 planes."""
     b = frame[..., 0].astype(jnp.int32)
     g = frame[..., 1].astype(jnp.int32)
     r = frame[..., 2].astype(jnp.int32)
@@ -89,7 +89,7 @@ def bgr_to_sngnrn(frame: jnp.ndarray) -> jnp.ndarray:
     out0 = ((b + g + r) // 3).astype(jnp.uint8)
     out1 = jnp.minimum(r2, 255).astype(jnp.uint8)
     out2 = jnp.minimum(r3, 255).astype(jnp.uint8)
-    return jnp.stack([out0, out1, out2], axis=-1)
+    return (out0, out1, out2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,13 +114,20 @@ class KDE(BGSAlgorithm):
         S = cfg.SequenceLength
         tb_len = max(cfg.TimeWindowSize // S, 2)
         c = max(c, 1)
+        # channel-tuple layout: every per-channel array keeps H×W minor
+        # (a C=3 or bins=20 minor axis tiles onto 128 lanes at <16%
+        # efficiency; the per-pixel take_along_axis reads were full-map
+        # gathers — 69 ms/frame before, see PERF.md)
         return {
             "t": jnp.zeros((), jnp.int32),
-            "seq": jnp.zeros((S, h, w, c), jnp.uint8),
+            "seq": tuple(jnp.zeros((S, h, w), jnp.uint8) for _ in range(c)),
             "qtop": jnp.zeros((h, w), jnp.int32),
-            "hist": jnp.zeros((h, w, c, HISTBINS), jnp.uint8),
-            "sd_bins": jnp.zeros((h, w, c), jnp.uint8),
-            "tb": jnp.zeros((tb_len, h, w, c), jnp.uint8),
+            "hist": tuple(
+                jnp.zeros((HISTBINS, h, w), jnp.uint8) for _ in range(c)
+            ),
+            "c1n_px": tuple(jnp.zeros((h, w), jnp.float32) for _ in range(c)),
+            "c2_px": tuple(jnp.zeros((h, w), jnp.float32) for _ in range(c)),
+            "tb": tuple(jnp.zeros((tb_len, h, w), jnp.uint8) for _ in range(c)),
             "tb_mask": jnp.zeros((tb_len, h, w), jnp.uint8),
             "tb_top": jnp.zeros((), jnp.int32),
             "tb_count": jnp.zeros((), jnp.int32),
@@ -128,64 +135,90 @@ class KDE(BGSAlgorithm):
             "time_index": jnp.zeros((), jnp.int32),
         }
 
-    # -- estimation ---------------------------------------------------------
+    # -- estimation (runs once, at the end of learning) -----------------------
     def _estimate(self, seq):
         S = self.config.SequenceLength
-        a = seq[: S - 1].astype(jnp.int32)
-        b = seq[1:S].astype(jnp.int32)
-        diff = jnp.minimum(jnp.abs(a - b), HISTBINS - 1)  # [S-1, H, W, C]
-        onehot = diff[..., None] == jnp.arange(HISTBINS)
-        hist = jnp.sum(onehot, axis=0).astype(jnp.uint8)  # [H, W, C, 20]
-        sd_bins = self._sds_from_hist(hist, S)
-        return hist, sd_bins
+        hist = []
+        for ch in range(len(seq)):
+            a = seq[ch][: S - 1].astype(jnp.int32)
+            b = seq[ch][1:S].astype(jnp.int32)
+            diff = jnp.minimum(jnp.abs(a - b), HISTBINS - 1)  # [S-1, H, W]
+            hist.append(
+                jnp.stack(
+                    [jnp.sum(diff == k, axis=0) for k in range(HISTBINS)]
+                ).astype(jnp.uint8)
+            )
+        hist = tuple(hist)
+        return (hist,) + self._sds_from_hist(hist, S)
 
     def _sds_from_hist(self, hist, S):
+        """Per-channel σ bins → per-pixel kernel constants (one-time cost;
+        the hot path then reads c1n/c2 maps with zero gathers)."""
         histsum = (S - 1) & 0xFF
         median_count = histsum // 2
-        cum = jnp.cumsum(hist.astype(jnp.int32), axis=-1)
-        med_bin = jnp.argmax(cum >= median_count, axis=-1)
-        x2 = jnp.take_along_axis(cum, med_bin[..., None], -1)[..., 0]
-        hb = jnp.take_along_axis(hist.astype(jnp.int32), med_bin[..., None], -1)[..., 0]
-        x1 = x2 - hb
-        v = 1.04 * (
-            med_bin.astype(jnp.float32)
-            - (x2 - median_count).astype(jnp.float32)
-            / jnp.maximum((x2 - x1).astype(jnp.float32), 1.0)
-        )
-        v = jnp.maximum(v, SEGMAMIN)
-        factor = (SEGMABINS - 1) / (SEGMAMAX - SEGMAMIN)
-        b = jnp.where(
-            v >= SEGMAMAX,
-            SEGMABINS - 1,
-            jnp.floor((v - SEGMAMIN) * factor + 0.5).astype(jnp.int32),
-        )
-        return b.astype(jnp.uint8)
+        c1n_px, c2_px = [], []
+        for ch in range(len(hist)):
+            h = hist[ch].astype(jnp.int32)  # [20, H, W]
+            cum = jnp.zeros_like(h[0])
+            found = jnp.zeros(h.shape[1:], bool)
+            med_bin = jnp.zeros_like(h[0])
+            x2 = jnp.zeros_like(h[0])
+            hb = jnp.zeros_like(h[0])
+            for k in range(HISTBINS):
+                cum = cum + h[k]
+                hit = (cum >= median_count) & jnp.logical_not(found)
+                med_bin = jnp.where(hit, k, med_bin)
+                x2 = jnp.where(hit, cum, x2)
+                hb = jnp.where(hit, h[k], hb)
+                found = found | hit
+            x1 = x2 - hb
+            v = 1.04 * (
+                med_bin.astype(jnp.float32)
+                - (x2 - median_count).astype(jnp.float32)
+                / jnp.maximum((x2 - x1).astype(jnp.float32), 1.0)
+            )
+            v = jnp.maximum(v, SEGMAMIN)
+            factor = (SEGMABINS - 1) / (SEGMAMAX - SEGMAMIN)
+            b = jnp.where(
+                v >= SEGMAMAX,
+                SEGMABINS - 1,
+                jnp.floor((v - SEGMAMIN) * factor + 0.5).astype(jnp.int32),
+            )
+            c1n_px.append(
+                sum(
+                    jnp.where(b == k, float(_C1N[k]), 0.0)
+                    for k in range(SEGMABINS)
+                )
+            )
+            c2_px.append(
+                sum(
+                    jnp.where(b == k, float(_C2[k]), 0.0)
+                    for k in range(SEGMABINS)
+                )
+            )
+        return tuple(c1n_px), tuple(c2_px)
 
     # -- subtraction ---------------------------------------------------------
-    def _probability(self, img, seq, sd_bins):
+    def _probability(self, img, seq, c1n_px, c2_px):
         cfg = self.config
-        S = cfg.SequenceLength
-        c1n = jnp.asarray(_C1N)
-        c2 = jnp.asarray(_C2)
-        x = img.astype(jnp.float32)  # [H, W, C]
-        g = seq.astype(jnp.float32)  # [S, H, W, C]
-        sd = sd_bins.astype(jnp.int32)
+        C = len(img)
 
         def kern(ch):
-            d = g[..., ch] - x[None, ..., ch]
-            return c1n[sd[..., ch]][None] * jnp.exp(c2[sd[..., ch]][None] * d * d)
+            d = seq[ch].astype(jnp.float32) - img[ch].astype(jnp.float32)[None]
+            return c1n_px[ch][None] * jnp.exp(c2_px[ch][None] * d * d)
 
-        if img.shape[-1] == 1:
+        if C == 1:
             return jnp.mean(kern(0), axis=0)
         if cfg.lUseColorRatiosFlag:
             # subset gate on channel 0 (NPBGSubtraction ':658-705')
             alpha = cfg.alpha
             beta = 3.0
-            g0 = g[..., 0]
+            g0 = seq[0].astype(jnp.float32)
             near = g0 < beta / alpha
             x1 = jnp.where(near, jnp.trunc(g0 - beta), jnp.trunc(g0 * (1 - alpha) + 0.5))
             x2 = jnp.where(near, jnp.trunc(g0 + beta), jnp.trunc(g0 * (1 + alpha) + 0.5))
-            gate = (x1 < x[None, ..., 0]) & (x[None, ..., 0] < x2)
+            x0 = img[0].astype(jnp.float32)[None]
+            gate = (x1 < x0) & (x0 < x2)
             contrib = jnp.where(gate, kern(1) * kern(2), 0.0)
             return jnp.mean(contrib, axis=0)
         return jnp.mean(kern(0) * kern(1) * kern(2), axis=0)
@@ -194,39 +227,66 @@ class KDE(BGSAlgorithm):
     def _update_pairs(self, st, img, mask):
         cfg = self.config
         S = cfg.SequenceLength
+        C = len(img)
         rate = max(cfg.TimeWindowSize // S, 2)
-        tb_len = st["tb"].shape[0]
+        tb_len = st["tb"][0].shape[0]
         top = st["tb_top"]
         nxt = (top + 1) % tb_len
 
         do_pairs = (st["time_index"] % rate == 0) & (st["tb_count"] >= tb_len)
         pix_ok = do_pairs & (st["tb_mask"][top] == 0) & (st["tb_mask"][nxt] == 0)
 
-        f1, f2 = st["tb"][top], st["tb"][nxt]  # pair to insert
+        f1 = tuple(st["tb"][ch][top] for ch in range(C))  # pair to insert
+        f2 = tuple(st["tb"][ch][nxt] for ch in range(C))
         q1 = st["qtop"]
         q2 = (st["qtop"] + 1) % S
         idx = jnp.arange(S)[:, None, None]
         sel1 = (idx == q1[None]) & pix_ok[None]
         sel2 = (idx == q2[None]) & pix_ok[None]
-        old1 = jnp.take_along_axis(st["seq"], q1[None, ..., None], axis=0)[0]
-        old2 = jnp.take_along_axis(st["seq"], q2[None, ..., None], axis=0)[0]
-        seq = jnp.where(sel1[..., None], f1[None], st["seq"])
-        seq = jnp.where(sel2[..., None], f2[None], seq)
+        # one-hot reads over the (dynamic per-pixel) queue positions
+        old1 = tuple(
+            sum(
+                jnp.where(q1 == s_, st["seq"][ch][s_], 0).astype(jnp.uint8)
+                for s_ in range(S)
+            )
+            for ch in range(C)
+        )
+        old2 = tuple(
+            sum(
+                jnp.where(q2 == s_, st["seq"][ch][s_], 0).astype(jnp.uint8)
+                for s_ in range(S)
+            )
+            for ch in range(C)
+        )
+        seq = tuple(
+            jnp.where(sel2, f2[ch][None], jnp.where(sel1, f1[ch][None], st["seq"][ch]))
+            for ch in range(C)
+        )
 
         # wrapping-u8 histogram patch (faithful to the uchar counters)
         if cfg.SDEstimationFlag:
-            def bins_of(a, b):
-                d = jnp.minimum(
-                    jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32)), HISTBINS - 1
+            hist = []
+            for ch in range(C):
+                d_add = jnp.minimum(
+                    jnp.abs(f1[ch].astype(jnp.int32) - f2[ch].astype(jnp.int32)),
+                    HISTBINS - 1,
                 )
-                return d[..., None] == jnp.arange(HISTBINS)
-
-            delta = (
-                bins_of(f1, f2).astype(jnp.uint8) - bins_of(old1, old2).astype(jnp.uint8)
-            )
-            hist = jnp.where(
-                pix_ok[..., None, None], st["hist"] + delta, st["hist"]
-            )
+                d_rem = jnp.minimum(
+                    jnp.abs(
+                        old1[ch].astype(jnp.int32) - old2[ch].astype(jnp.int32)
+                    ),
+                    HISTBINS - 1,
+                )
+                planes = []
+                for k in range(HISTBINS):
+                    delta = (d_add == k).astype(jnp.uint8) - (d_rem == k).astype(
+                        jnp.uint8
+                    )
+                    planes.append(
+                        jnp.where(pix_ok, st["hist"][ch][k] + delta, st["hist"][ch][k])
+                    )
+                hist.append(jnp.stack(planes))
+            hist = tuple(hist)
         else:
             hist = st["hist"]
         qtop = jnp.where(pix_ok, (st["qtop"] + 2) % S, st["qtop"])
@@ -234,7 +294,7 @@ class KDE(BGSAlgorithm):
         # stuck-FG suppression then store current frame+mask into the buffer
         acc = jnp.where(mask > 0, st["acc_mask"] + 1, 0)
         mask_stored = jnp.where(acc > 500, jnp.uint8(0), mask)
-        tb = st["tb"].at[top].set(img)
+        tb = tuple(st["tb"][ch].at[top].set(img[ch]) for ch in range(C))
         tb_mask = st["tb_mask"].at[top].set(mask_stored)
 
         return dict(
@@ -255,34 +315,47 @@ class KDE(BGSAlgorithm):
         cfg = self.config
         S = cfg.SequenceLength
         f3 = frame if frame.ndim == 3 else frame[..., None]
-        img = (
-            bgr_to_sngnrn(f3)
-            if (cfg.lUseColorRatiosFlag and f3.shape[-1] == 3)
-            else f3
-        )
+        if cfg.lUseColorRatiosFlag and f3.shape[-1] == 3:
+            img = bgr_to_sngnrn(f3)
+        else:
+            img = tuple(f3[..., ch] for ch in range(f3.shape[-1]))
+        C = len(img)
         t = state["t"]
 
         def learn(st):
-            idx = jnp.arange(S)[:, None, None, None]
-            seq = jnp.where(idx == (t % S), img[None], st["seq"])
+            seq = tuple(
+                jnp.where(
+                    (jnp.arange(S) == (t % S))[:, None, None],
+                    img[ch][None],
+                    st["seq"][ch],
+                )
+                for ch in range(C)
+            )
             return dict(st, seq=seq, t=t + 1), jnp.zeros(frame.shape[:2], jnp.uint8)
 
         def detect(st):
-            hist0, sd0 = jax.lax.cond(
-                t == cfg.framesToLearn,
-                lambda: self._estimate(st["seq"])
-                if cfg.SDEstimationFlag
-                else (
+            if cfg.SDEstimationFlag:
+                est = lambda: self._estimate(st["seq"])  # noqa: E731
+            else:
+                b0 = int(((1.0 - SEGMAMIN) * SEGMABINS) / (SEGMAMAX - SEGMAMIN))
+                est = lambda: (  # noqa: E731
                     st["hist"],
-                    jnp.full_like(
-                        st["sd_bins"],
-                        int(((1.0 - SEGMAMIN) * SEGMABINS) / (SEGMAMAX - SEGMAMIN)),
+                    tuple(
+                        jnp.full_like(st["c1n_px"][ch], float(_C1N[b0]))
+                        for ch in range(C)
                     ),
-                ),
-                lambda: (st["hist"], st["sd_bins"]),
+                    tuple(
+                        jnp.full_like(st["c2_px"][ch], float(_C2[b0]))
+                        for ch in range(C)
+                    ),
+                )
+            hist0, c1n0, c2n0 = jax.lax.cond(
+                t == cfg.framesToLearn,
+                est,
+                lambda: (st["hist"], st["c1n_px"], st["c2_px"]),
             )
-            st = dict(st, hist=hist0, sd_bins=sd0)
-            p = self._probability(img, st["seq"], st["sd_bins"])
+            st = dict(st, hist=hist0, c1n_px=c1n0, c2_px=c2n0)
+            p = self._probability(img, st["seq"], st["c1n_px"], st["c2_px"])
             mask = jnp.where(p > cfg.th, jnp.uint8(0), jnp.uint8(255))
             if cfg.updateBG:
                 st = self._update_pairs(st, img, mask)
