@@ -69,14 +69,21 @@ def _lbp6(plane: jnp.ndarray) -> jnp.ndarray:
 
 
 def _region_hist(code: jnp.ndarray) -> jnp.ndarray:
-    """[H, W] code → [64, H, W] u8 counts over the 11×11 window."""
+    """[H, W] code → [64, H, W] u8 counts over the 11×11 window.
+
+    The box sum is separable (rows then columns): 22 adds per bin instead of
+    121 — the non-separable reduce_window was the dominant cost of the whole
+    algorithm at 720p (the window runs over 64 bins × 3 channels)."""
     k = 2 * REGION_R + 1
     onehot = (code[None].astype(jnp.int32) == jnp.arange(NUM_BINS)[:, None, None]).astype(
         jnp.int32
     )
     padded = jnp.pad(onehot, ((0, 0), (REGION_R, REGION_R), (REGION_R, REGION_R)))
+    rows = jax.lax.reduce_window(
+        padded, 0, jax.lax.add, (1, k, 1), (1, 1, 1), "VALID"
+    )
     cnt = jax.lax.reduce_window(
-        padded, 0, jax.lax.add, (1, k, k), (1, 1, 1), "VALID"
+        rows, 0, jax.lax.add, (1, 1, k), (1, 1, 1), "VALID"
     )
     return cnt.astype(jnp.uint8)
 
@@ -103,6 +110,18 @@ class DPTextureBGS(BGSAlgorithm):
             [_region_hist(_lbp6(f3[..., ch])) for ch in range(3)], axis=0
         )
 
+    def warm_start(self, state: State, frame: jnp.ndarray) -> State:
+        """Seed the model from the first frame's own histograms
+        (``DPTextureBGS.cpp:72-90``). Seeding here instead of a ``t == 0``
+        select inside step saves a full [3, 64, H, W] model pass per frame;
+        behavior is identical because at t=0 model == cur either way."""
+        f3 = frame if frame.ndim == 3 else jnp.repeat(frame[..., None], 3, -1)
+        h, w = f3.shape[:2]
+        valid = np.zeros((h, w), bool)
+        valid[BORDER : h - BORDER, BORDER : w - BORDER] = True
+        cur = self._histograms(f3)
+        return dict(state, model=jnp.where(jnp.asarray(valid)[None, None], cur, 0))
+
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         f3 = frame if frame.ndim == 3 else jnp.repeat(frame[..., None], 3, -1)
         h, w = f3.shape[:2]
@@ -113,7 +132,7 @@ class DPTextureBGS(BGSAlgorithm):
         valid[BORDER : h - BORDER, BORDER : w - BORDER] = True
         valid = jnp.asarray(valid)
 
-        model = jnp.where(t == 0, jnp.where(valid[None, None], cur, 0), state["model"])
+        model = state["model"]
 
         prox = jnp.sum(
             jnp.minimum(model.astype(jnp.int32), cur.astype(jnp.int32)), axis=(0, 1)
