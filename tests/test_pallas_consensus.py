@@ -98,14 +98,18 @@ def test_pallas_consensus_matches_xla(C, delta_v):
     )
     (cnt_x, mind_x, mins_x), _ = jax.lax.scan(body, c0, (colors, descs))
 
-    cnt_p, mind_p, mins_p = consensus_pallas(
-        planes, nb, intra, colors, descs, delta, R, unstable,
+    cnt_p, mind_p, mins_p, intra_p = consensus_pallas(
+        planes, colors, descs, delta, R, unstable,
         required=jnp.asarray(required), rel=rel, div=div, hi_const=hi,
         min_cd=min_cd, desc_off=desc_off, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
     np.testing.assert_array_equal(np.asarray(mind_x), np.asarray(mind_p))
     np.testing.assert_array_equal(np.asarray(mins_x), np.asarray(mins_p))
+    for ci in range(C):  # in-kernel intra descriptors match the XLA ones
+        np.testing.assert_array_equal(
+            np.asarray(intra[ci], np.int32), np.asarray(intra_p[ci])
+        )
 
 
 @pytest.mark.parametrize("C", [1, 3])
@@ -132,7 +136,7 @@ def test_pallas_lobster_consensus_matches_xla(C):
         raw = (v.astype(jnp.float32) * rel + offset) / div
         return jnp.clip(jnp.rint(raw), 0, 255).astype(jnp.int32)
 
-    _, nb = LF._intra_descriptor(planes, thr_fn)
+    intra, nb = LF._intra_descriptor(planes, thr_fn)
 
     def body(count, sd):
         s_colors, s_descs = sd
@@ -152,8 +156,12 @@ def test_pallas_lobster_consensus_matches_xla(C):
         return count + (good & (count < req)).astype(jnp.int32), None
 
     cnt_x, _ = jax.lax.scan(body, jnp.zeros((H, W), jnp.int32), (colors, descs))
-    cnt_p = consensus_lobster_pallas(
-        planes, nb, colors, descs, rel=rel, offset=offset, div=div,
+    cnt_p, intra_p = consensus_lobster_pallas(
+        planes, colors, descs, rel=rel, offset=offset, div=div,
         c_sc=c_sc, d_sc=d_sc, c_tot=c_tot, d_tot=d_tot, req=req, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
+    for ci in range(C):
+        np.testing.assert_array_equal(
+            np.asarray(intra[ci], np.int32), np.asarray(intra_p[ci])
+        )

@@ -84,7 +84,8 @@ def test_derive_draws_ranges_and_rates():
         assert abs(float(u.mean()) - 0.5) < 0.02
     for s in (s_cd, s_self, s3, s5):
         assert int(s.min()) >= 0 and int(s.max()) <= 49
-    assert int(o3.max()) <= 8 and int(o5.max()) <= 24 and int(o3.min()) >= 0
+    # pattern sizes are 8 / 24 (rand()%8 / %24, RandUtils.h:51,73)
+    assert int(o3.max()) <= 7 and int(o5.max()) <= 23 and int(o3.min()) >= 0
     # Bernoulli(1/16) via u*16 < 1
     rate = float((np.asarray(u_self) * 16.0 < 1.0).mean())
     assert abs(rate - 1 / 16) < 0.01

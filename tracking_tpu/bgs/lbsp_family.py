@@ -316,7 +316,6 @@ class LOBSTER(BGSAlgorithm):
         keys = jax.random.split(state["key"], 8)
         new_key = keys[0]
 
-        intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
         colors, descs = state["colors"], state["descs"]
 
         # -- sample consensus (BackgroundSubtractorLOBSTER.cpp:191-262) ------
@@ -356,8 +355,8 @@ class LOBSTER(BGSAlgorithm):
         if use_pallas:
             from tracking_tpu.ops.pallas_consensus import consensus_lobster_pallas
 
-            count = consensus_lobster_pallas(
-                planes, nb_stack, colors, descs,
+            count, k_intra = consensus_lobster_pallas(
+                planes, colors, descs,
                 rel=cfg.fRelLBSPThreshold,
                 offset=float(cfg.nLBSPThresholdOffset),
                 div=2.0 if c == 1 else 1.0,
@@ -365,7 +364,9 @@ class LOBSTER(BGSAlgorithm):
                 c_tot=int(tot_color_thr), d_tot=int(tot_desc_thr),
                 req=int(required),
             )
+            intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
         else:
+            intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
             count, _ = jax.lax.scan(
                 consensus_body, jnp.zeros((h, w), jnp.int32), (colors, descs)
             )
@@ -383,19 +384,27 @@ class LOBSTER(BGSAlgorithm):
         r_nb_dec = jax.random.randint(keys[4], (h, w), 0, _RMAX)
         o_idx = jax.random.randint(keys[5], (h, w), 0, len(_NB3))
         src_fire = is_bg & (r_nb_dec % lr == 0)
-        picked = _pick_neighbor(
-            o_idx, _NB3, (src_fire,) + tuple(planes) + tuple(intra_desc)
-        )
-        q_ok, q_colors, q_descs = picked[0], picked[1 : 1 + c], picked[1 + c :]
         slot_nb = jax.random.randint(keys[6], (h, w), 0, N)
         if use_pallas:
-            from tracking_tpu.ops.pallas_bank_update import bank_update_pallas
+            from tracking_tpu.ops.pallas_bank_update import (
+                bank_update_pallas,
+                nb3_to_nb5_idx,
+            )
 
+            # 3×3-only spread: bit1 (5×5 fire) stays clear, u5/slot5 inert
             colors, descs = bank_update_pallas(
-                self_upd, slot_self, q_ok, slot_nb, planes, intra_desc,
-                q_colors, q_descs, colors, descs,
+                self_upd, slot_self, src_fire.astype(jnp.uint8),
+                nb3_to_nb5_idx(o_idx), jnp.zeros((h, w), jnp.int32),
+                slot_nb, jnp.zeros((h, w), jnp.int32),
+                planes, intra_desc, colors, descs,
             )
         else:
+            picked = _pick_neighbor(
+                o_idx, _NB3, (src_fire,) + tuple(planes) + tuple(intra_desc)
+            )
+            q_ok, q_colors, q_descs = (
+                picked[0], picked[1 : 1 + c], picked[1 + c :]
+            )
             m1 = self_upd[None] & (slot_self[None] == jnp.arange(N)[:, None, None])
             colors = tuple(
                 jnp.where(m1, planes[ci][None], colors[ci]) for ci in range(c)
@@ -589,14 +598,6 @@ class SuBSENSE(BGSAlgorithm):
         a_lt = 1.0 / jnp.minimum(fidx, float(cfg.nSamplesForMovingAvgs))
         a_st = 1.0 / jnp.minimum(fidx, float(cfg.nSamplesForMovingAvgs // 4))
 
-        intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
-        last_color = tuple(
-            jnp.where(t == 0, planes[ci], state["last_color"][ci]) for ci in range(c)
-        )
-        last_desc = tuple(
-            jnp.where(t == 0, intra_desc[ci], state["last_desc"][ci]) for ci in range(c)
-        )
-
         colors, descs = state["colors"], state["descs"]
 
         # -- thresholds (old unstable mask; :327-328) ------------------------
@@ -668,12 +669,13 @@ class SuBSENSE(BGSAlgorithm):
         required_eff = jnp.where(roi, jnp.asarray(required, jnp.int32), 0)
 
         # Pallas fast path: fused VMEM-resident consensus (bank bytes cross
-        # HBM once); real TPU only.
+        # HBM once; neighbor views + intra descriptors built in-kernel from
+        # the raw planes); real TPU only.
         if use_pallas:
             from tracking_tpu.ops.pallas_consensus import consensus_pallas
 
-            count, min_desc, min_sum = consensus_pallas(
-                planes, nb_stack, intra_desc, colors, descs,
+            count, min_desc, min_sum, k_intra = consensus_pallas(
+                planes, colors, descs,
                 state["lut_delta"], R, old_unstable,
                 required=required_eff,
                 rel=cfg.fRelLBSPThreshold,
@@ -682,7 +684,9 @@ class SuBSENSE(BGSAlgorithm):
                 min_cd=int(cfg.nMinColorDistThreshold),
                 desc_off=int(cfg.nDescDistThresholdOffset),
             )
+            intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
         else:
+            intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
             carry0 = (
                 jnp.zeros((h, w), jnp.int32),
                 jnp.full((h, w), max_desc, jnp.int32),
@@ -691,6 +695,12 @@ class SuBSENSE(BGSAlgorithm):
             (count, min_desc, min_sum), _ = jax.lax.scan(
                 consensus_body, carry0, (colors, descs)
             )
+        last_color = tuple(
+            jnp.where(t == 0, planes[ci], state["last_color"][ci]) for ci in range(c)
+        )
+        last_desc = tuple(
+            jnp.where(t == 0, intra_desc[ci], state["last_desc"][ci]) for ci in range(c)
+        )
         # -- fused feedback stage (:358-431) ----------------------------------
         # Rolling means, stochastic update decisions, R/T/v controllers, blink
         # bookkeeping and the nonzero-descriptor map, all in one pass
@@ -753,30 +763,39 @@ class SuBSENSE(BGSAlgorithm):
         unstable = fb.unstable
         upd1, slot1 = fb.upd1, fb.slot1
 
-        # BG neighbor spread, gather form (:387-404; see module docstring)
-        src_arrays = tuple(planes) + tuple(intra_desc)
-        p3 = _pick_neighbor(fb.o3, _NB3, (fb.fire3,) + src_arrays)
-        p5 = _pick_neighbor(fb.o5, _NB5, (fb.fire5,) + src_arrays)
-        ok3, ok5 = p3[0], p5[0]
-        okn = ok3 | ok5  # 3x3 takes precedence on (rare) collisions
-        slotn = jnp.where(ok3, fb.slot3, fb.slot5)
-
-        # single fused bank write: the self/cooldown update (stage 1) and the
-        # neighbor-spread write (stage 2) touch each destination pixel's own
-        # bank, so both resolve in one [N, H, W] select; the later stage wins
-        # on the rare same-slot collision (matching the sequential order).
-        nb_col = tuple(jnp.where(ok3, p3[1 + ci], p5[1 + ci]) for ci in range(c))
-        nb_desc = tuple(
-            jnp.where(ok3, p3[1 + c + ci], p5[1 + c + ci]) for ci in range(c)
-        )
+        # BG neighbor spread (:387-404; see module docstring). Pallas path:
+        # the random-offset pick runs inside the bank-update kernel (halo'd
+        # fire/value views); XLA path: gather-free select chains here.
         if use_pallas:
-            from tracking_tpu.ops.pallas_bank_update import bank_update_pallas
+            from tracking_tpu.ops.pallas_bank_update import (
+                bank_update_pallas,
+                nb3_to_nb5_idx,
+            )
 
+            fires = fb.fire3.astype(jnp.uint8) | (fb.fire5.astype(jnp.uint8) << 1)
             colors, descs = bank_update_pallas(
-                upd1, slot1, okn, slotn, planes, intra_desc, nb_col, nb_desc,
-                colors, descs,
+                upd1, slot1, fires, nb3_to_nb5_idx(fb.o3), fb.o5,
+                fb.slot3, fb.slot5, planes, intra_desc, colors, descs,
             )
         else:
+            src_arrays = tuple(planes) + tuple(intra_desc)
+            p3 = _pick_neighbor(fb.o3, _NB3, (fb.fire3,) + src_arrays)
+            p5 = _pick_neighbor(fb.o5, _NB5, (fb.fire5,) + src_arrays)
+            ok3, ok5 = p3[0], p5[0]
+            okn = ok3 | ok5  # 3x3 takes precedence on (rare) collisions
+            slotn = jnp.where(ok3, fb.slot3, fb.slot5)
+
+            # single fused bank write: the self/cooldown update (stage 1) and
+            # the neighbor-spread write (stage 2) touch each destination
+            # pixel's own bank, so both resolve in one [N, H, W] select; the
+            # later stage wins on the rare same-slot collision (matching the
+            # sequential order).
+            nb_col = tuple(
+                jnp.where(ok3, p3[1 + ci], p5[1 + ci]) for ci in range(c)
+            )
+            nb_desc = tuple(
+                jnp.where(ok3, p3[1 + c + ci], p5[1 + c + ci]) for ci in range(c)
+            )
             slot_axis = jnp.arange(N)[:, None, None]
             m1 = upd1[None] & (slot1[None] == slot_axis)
             mn = okn[None] & (slotn[None] == slot_axis)

@@ -10,18 +10,27 @@ descriptor built against the *sample's* color and threshold), and count
 The XLA formulation (lax.scan over the bank axis) round-trips its [H, W]
 carries and bank slices through HBM on every sample. This kernel instead
 tiles the image plane over a grid and holds a tile's entire [N, bh, bw]
-color/desc banks plus the [16, bh, bw] neighbor stack in VMEM, fusing the
-whole N-sample walk into one pass — bank bytes cross HBM exactly once.
+color/desc banks in VMEM, fusing the whole N-sample walk into one pass —
+bank bytes cross HBM exactly once.
+
+The 16-neighbor LBSP stack is built IN-KERNEL from the raw u8 planes: each
+plane is edge-padded by one block and passed as 9 shifted-block views
+(index maps (i+di, j+dj)); the 5×5-patch neighbor views are then
+``pltpu.roll`` + iota-mask compositions of the center/edge/corner blocks in
+VMEM. This replaces the materialized [16, H, W] i32 stacks (177 MB of HBM
+write+read per 720p color frame, ~1.4 ms) with ~25 MB of overlapping u8
+block reads. The intra-frame descriptors fall out for free and are kernel
+outputs (the feedback stage, bank updates and carried state consume them).
 
 Layouts: the [N, H, W] banks stay u8/u16 end-to-end (widening 414 MB of
 banks to i32 outside the kernel cost more than the kernel itself); they are
 cast per-tile inside VMEM. Small [H, W] planes are i32. Tiles are
-(bh=32, bw=256) — u8's minimal sublane tiling.
+(bh=16, bw=256).
 
-Per-channel inputs (C ≤ 3 static unroll, one kernel invocation per channel
-triple): the early-exit "count < required" gating matches the reference's
-semantics exactly (later samples never update the mins once satisfied).
-Outputs: good-sample count, min total desc dist, min total sum dist.
+Per-channel inputs (C ≤ 3 static unroll): the early-exit "count < required"
+gating matches the reference's semantics exactly (later samples never update
+the mins once satisfied). Outputs: good-sample count, min total desc dist,
+min total sum dist, intra descriptors ×C.
 """
 
 from __future__ import annotations
@@ -33,6 +42,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from tracking_tpu.ops import lbsp
+from tracking_tpu.ops.pallas_fill import _roll
 
 BH, BW = 16, 256
 
@@ -60,10 +72,65 @@ def _thr_closed_form(v, delta, rel, div, hi_const):
     ).astype(jnp.int32)
 
 
-def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off):
+def _nb_views(get_blk, interp):
+    """16 LBSP neighbor views of the center tile, V_k(y, x) = P(y+dy_k, x+dx_k).
+
+    ``get_blk(di, dj)`` returns the i32 tile at block offset (di, dj) ∈
+    {−1, 0, 1}². Each view is a roll of the center block with the wrapped
+    rows/columns replaced (iota masks) by identically-rolled neighbor
+    blocks — pure vector ops, no HBM traffic, no unaligned lane slicing
+    (which trips Mosaic layout bugs; see pallas_fill)."""
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
+    views = []
+    for dx, dy in lbsp.OFFSETS:
+        def roll2(b):
+            return _roll(_roll(b, -dy, 0, interp), -dx, 1, interp)
+
+        def rowres(dj):
+            c_ = roll2(get_blk(0, dj))
+            if dy < 0:
+                return jnp.where(i0 < -dy, roll2(get_blk(-1, dj)), c_)
+            if dy > 0:
+                return jnp.where(i0 >= BH - dy, roll2(get_blk(1, dj)), c_)
+            return c_
+
+        v = rowres(0)
+        if dx < 0:
+            v = jnp.where(i1 < -dx, rowres(-1), v)
+        elif dx > 0:
+            v = jnp.where(i1 >= BW - dx, rowres(1), v)
+        views.append(v)
+    return views
+
+
+def _pad_plane_blocks(p, Hp, Wp):
+    """u8 [H, W] → [Hp+2BH, Wp+2BW] edge-padded (alignment padding is also
+    edge-mode so neighbor views clamp exactly like ops.lbsp.neighbor_stack
+    even when H/W are not block multiples)."""
+    H, W = p.shape
+    return jnp.pad(p, ((BH, Hp - H + BH), (BW, Wp - W + BW)), mode="edge")
+
+
+def _plane_block_specs():
+    """9 shifted-block views of an edge-padded plane (center = (i+1, j+1))."""
+    specs = []
+    for di in range(3):
+        for dj in range(3):
+            specs.append(
+                pl.BlockSpec(
+                    (BH, BW),
+                    partial(lambda di, dj, i, j: (i + di, j + dj), di, dj),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    return specs
+
+
+def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp):
     """Kernel body closure. Refs order:
-    [planes×C, nb×C, intra×C, colors×C, descs×C, delta, R, unstable, req]
-    outputs [count, min_desc, min_sum].
+    [plane blocks×9×C, colors×C, descs×C, delta, R, unstable, req]
+    outputs [count, min_desc, min_sum, intra×C].
 
     The R(x)-dependent thresholds are computed per-tile from R and the old
     unstable mask (``BackgroundSubtractorSuBSENSE.cpp:327-328``) instead of
@@ -72,16 +139,19 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off):
     (Mosaic has no vector shift-by-vector)."""
 
     def kernel(*refs):
-        planes = refs[0:C]
-        nbs = refs[C : 2 * C]
-        intras = refs[2 * C : 3 * C]
-        colors = refs[3 * C : 4 * C]
-        descs = refs[4 * C : 5 * C]
-        delta_ref = refs[5 * C]
-        r_ref = refs[5 * C + 1]
-        unst_ref = refs[5 * C + 2]
-        req_ref = refs[5 * C + 3]
-        count_ref, mind_ref, mins_ref = refs[5 * C + 4 :]
+        def get_blk(c, di, dj):
+            return refs[9 * c + (di + 1) * 3 + (dj + 1)][...].astype(jnp.int32)
+
+        base = 9 * C
+        colors = refs[base : base + C]
+        descs = refs[base + C : base + 2 * C]
+        delta_ref = refs[base + 2 * C]
+        r_ref = refs[base + 2 * C + 1]
+        unst_ref = refs[base + 2 * C + 2]
+        req_ref = refs[base + 2 * C + 3]
+        outs = refs[base + 2 * C + 4 :]
+        count_ref, mind_ref, mins_ref = outs[:3]
+        intra_refs = outs[3:]
 
         delta = delta_ref[0, 0].astype(jnp.float32)
         R = r_ref[...]
@@ -96,9 +166,19 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off):
         n_exp = jnp.floor(R + 0.5).astype(jnp.int32)
         pow2 = pltpu.bitcast((n_exp + 127) << 23, jnp.float32).astype(jnp.int32)
         desc_thr = pow2 + desc_off + unstable * desc_off
-        px = [planes[c][...] for c in range(C)]
-        nb = [nbs[c][...] for c in range(C)]
-        intra = [intras[c][...] for c in range(C)]
+
+        # center planes + in-kernel neighbor views + intra descriptors
+        px, nb, intra = [], [], []
+        for c in range(C):
+            p = get_blk(c, 0, 0)
+            views = _nb_views(partial(get_blk, c), interp)
+            thr_px = _thr_closed_form(p, delta, rel, div, hi_const)
+            ibits = [(jnp.abs(views[k] - p) > thr_px) for k in range(16)]
+            d = _pack16(jnp.stack(ibits))
+            intra_refs[c][...] = d
+            px.append(p)
+            nb.append(views)
+            intra.append(d)
 
         if C == 3:
             tot_color_thr = color_thr * 3
@@ -109,13 +189,23 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off):
         mind = jnp.full((BH, BW), 16 * C, jnp.int32)
         mins = jnp.full((BH, BW), 255 * C, jnp.int32)
 
+        # NOTE (negative result, measured): a per-sample "lazy descriptor"
+        # color gate (skip the 16-neighbor LBSP stage via lax.cond when no
+        # unsatisfied lane passes the color precondition) benched 112.9 vs
+        # 114.7 fps without it — the scalar any()-reduce + cond bubble costs
+        # more than the skipped work on real content, where the tile-level
+        # early exit already absorbs background tiles. Keep the body flat.
         def body(j, carry):
             count, mind, mins = carry
-            cd, dd = [], []
+            s_cols, cd = [], []
             for c in range(C):
                 s_col = colors[c][j].astype(jnp.int32)
+                s_cols.append(s_col)
+                cd.append(jnp.abs(px[c] - s_col))
+            dd = []
+            for c in range(C):
+                s_col = s_cols[c]
                 s_desc = descs[c][j].astype(jnp.int32) & 0xFFFF
-                cdist = jnp.abs(px[c] - s_col)
                 sthr = _thr_closed_form(s_col, delta, rel, div, hi_const)
                 bits = [
                     (jnp.abs(nb[c][k] - s_col) > sthr) for k in range(16)
@@ -123,11 +213,14 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off):
                 inter = _pack16(jnp.stack(bits))
                 intra_d = _popcount16(intra[c] ^ s_desc)
                 inter_d = _popcount16(inter ^ s_desc)
-                cd.append(cdist)
                 dd.append((intra_d + inter_d) // 2)
             if C == 1:
                 sum_d = jnp.minimum((dd[0] // 4) * (255 // 16) + cd[0], 255)
-                good = (cd[0] <= color_thr) & (dd[0] <= desc_thr) & (sum_d <= color_thr)
+                good = (
+                    (cd[0] <= color_thr)
+                    & (dd[0] <= desc_thr)
+                    & (sum_d <= color_thr)
+                )
                 tot_desc, tot_sum = dd[0], sum_d
             else:
                 sum_c = [
@@ -139,7 +232,11 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off):
                     sc_ok &= (cd[c] <= sc_color_thr) & (sum_c[c] <= sc_color_thr)
                 tot_desc = dd[0] + (dd[1] + dd[2] if C == 3 else 0)
                 tot_sum = sum_c[0] + (sum_c[1] + sum_c[2] if C == 3 else 0)
-                good = sc_ok & (tot_desc <= tot_desc_thr) & (tot_sum <= tot_color_thr)
+                good = (
+                    sc_ok
+                    & (tot_desc <= tot_desc_thr)
+                    & (tot_sum <= tot_color_thr)
+                )
             live = good & (count < required)
             mind = jnp.where(live, jnp.minimum(mind, tot_desc), mind)
             mins = jnp.where(live, jnp.minimum(mins, tot_sum), mins)
@@ -174,8 +271,6 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off):
 )
 def consensus_pallas(
     planes,
-    nb_stacks,
-    intra_descs,
     colors,
     descs,
     lut_delta,
@@ -190,12 +285,12 @@ def consensus_pallas(
     interpret: bool = False,
 ):
     """Fused consensus. All tensor args are C-tuples:
-    planes [H, W] u8, nb_stacks [16, H, W] i16, intra_descs [H, W] u16,
-    colors/descs [N, H, W] u8/u16; R [H, W] f32; unstable [H, W] bool/int;
-    lut_delta scalar i32; required is a scalar or [H, W] i32 map (the
-    subsenseShrink per-pixel offset); min_cd/desc_off the config threshold
-    constants (thresholds are derived in-kernel). Returns
-    (count, min_desc, min_sum) i32 [H, W]."""
+    planes [H, W] u8, colors/descs [N, H, W] u8/u16; R [H, W] f32; unstable
+    [H, W] bool/int; lut_delta scalar i32; required is a scalar or [H, W]
+    i32 map (the subsenseShrink per-pixel offset); min_cd/desc_off the
+    config threshold constants (thresholds are derived in-kernel). Returns
+    (count, min_desc, min_sum, intra) i32 [H, W]; intra is a C-tuple of the
+    16-bit intra-frame LBSP descriptors (i32)."""
     C = len(planes)
     N = colors[0].shape[0]
     H, W = planes[0].shape
@@ -207,10 +302,13 @@ def consensus_pallas(
     def pad3(a):
         return jnp.pad(a, ((0, 0), (0, ph), (0, pw)))
 
+    Hp, Wp = H + ph, W + pw
+    # one input entry per block view (same device buffer 9×, no copies)
+    plane_views = tuple(
+        pb for p in planes for pb in (_pad_plane_blocks(p, Hp, Wp),) * 9
+    )
     args = (
-        tuple(pad2(p) for p in planes)
-        + tuple(pad3(n.astype(jnp.int32)) for n in nb_stacks)
-        + tuple(pad2(i) for i in intra_descs)
+        plane_views
         + tuple(pad3(c) for c in colors)  # u8, native
         + tuple(pad3(d.astype(jnp.int16)) for d in descs)  # u16→i16 bitcast-safe
         + (lut_delta.astype(jnp.int32).reshape(1, 1),)
@@ -218,29 +316,25 @@ def consensus_pallas(
         + (pad2(jnp.broadcast_to(jnp.asarray(required, jnp.int32), (H, W))),)
     )
 
-    Hp, Wp = H + ph, W + pw
     grid = (Hp // BH, Wp // BW)
-
-    def tile2(i, j):
-        return (i, j)
-
-    def tile3(i, j):
-        return (0, i, j)
-
-    spec2 = pl.BlockSpec((BH, BW), tile2, memory_space=pltpu.VMEM)
-    spec_nb = pl.BlockSpec((16, BH, BW), tile3, memory_space=pltpu.VMEM)
-    spec_bank = pl.BlockSpec((N, BH, BW), tile3, memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    spec_bank = pl.BlockSpec(
+        (N, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+    )
     spec_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
 
     in_specs = (
-        [spec2] * C + [spec_nb] * C + [spec2] * C + [spec_bank] * C
-        + [spec_bank] * C + [spec_scalar, spec2, spec2, spec2]
+        _plane_block_specs() * C
+        + [spec_bank] * (2 * C)
+        + [spec_scalar, spec2, spec2, spec2]
     )
-    out_shape = [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * 3
-    out_specs = [spec2] * 3
+    out_shape = [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * (3 + C)
+    out_specs = [spec2] * (3 + C)
 
-    kernel = _make_kernel(C, N, rel, div, hi_const, C == 1, min_cd, desc_off)
-    count, mind, mins = pl.pallas_call(
+    kernel = _make_kernel(
+        C, N, rel, div, hi_const, C == 1, min_cd, desc_off, interpret
+    )
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -248,40 +342,60 @@ def consensus_pallas(
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    return count[:H, :W], mind[:H, :W], mins[:H, :W]
+    count, mind, mins = (o[:H, :W] for o in outs[:3])
+    intra = tuple(o[:H, :W] for o in outs[3:])
+    return count, mind, mins, intra
 
 
-def _make_lobster_kernel(C, N, rel, offset, div, c_sc, d_sc, c_tot, d_tot, req):
+def _make_lobster_kernel(
+    C, N, rel, offset, div, c_sc, d_sc, c_tot, d_tot, req, interp
+):
     """LOBSTER variant (``BackgroundSubtractorLOBSTER.cpp:191-262``): fixed
     scalar thresholds, descriptor distance = inter-frame hamming only (no
-    intra average, no min tracking). Refs: [planes×C, nb×C, colors×C,
-    descs×C] → [count].
+    intra average, no min tracking). Refs: [plane blocks×9×C, colors×C,
+    descs×C] → [count, intra×C] (intra is not used by the match but is
+    needed by the caller's bank updates and carried state).
 
     i16 in-kernel arithmetic was tried and rejected: this Mosaic/v5e
     toolchain cannot legalize i16 vector absi/maxsi/cmpi, so everything
     stays i32 in-register (banks are still u8/u16 in VMEM)."""
 
     def kernel(*refs):
-        planes = refs[0:C]
-        nbs = refs[C : 2 * C]
-        colors = refs[2 * C : 3 * C]
-        descs = refs[3 * C : 4 * C]
-        count_ref = refs[4 * C]
+        def get_blk(c, di, dj):
+            return refs[9 * c + (di + 1) * 3 + (dj + 1)][...].astype(jnp.int32)
 
-        px = [planes[c][...] for c in range(C)]
-        nb = [nbs[c][...] for c in range(C)]
+        base = 9 * C
+        colors = refs[base : base + C]
+        descs = refs[base + C : base + 2 * C]
+        count_ref = refs[base + 2 * C]
+        intra_refs = refs[base + 2 * C + 1 :]
+
+        def thr_of(v):
+            raw = (v.astype(jnp.float32) * rel + offset) / div
+            return jnp.clip(jnp.rint(raw), 0.0, 255.0).astype(jnp.int32)
+
+        px, nb = [], []
+        for c in range(C):
+            p = get_blk(c, 0, 0)
+            views = _nb_views(partial(get_blk, c), interp)
+            ibits = [(jnp.abs(views[k] - p) > thr_of(p)) for k in range(16)]
+            intra_refs[c][...] = _pack16(jnp.stack(ibits))
+            px.append(p)
+            nb.append(views)
 
         def body(j, count):
-            cd, dd = [], []
+            s_cols, cd = [], []
             for c in range(C):
                 s_col = colors[c][j].astype(jnp.int32)
+                s_cols.append(s_col)
+                cd.append(jnp.abs(px[c] - s_col))
+            dd = []
+            for c in range(C):
+                s_col = s_cols[c]
                 s_desc = descs[c][j].astype(jnp.int32) & 0xFFFF
-                cdist = jnp.abs(px[c] - s_col)
-                raw = (s_col.astype(jnp.float32) * rel + offset) / div
-                sthr = jnp.clip(jnp.rint(raw), 0.0, 255.0).astype(jnp.int32)
+                sthr = thr_of(s_col)
                 bits = [(jnp.abs(nb[c][k] - s_col) > sthr) for k in range(16)]
                 inter = _pack16(jnp.stack(bits))
-                cd.append(cdist)
                 dd.append(_popcount16(inter ^ s_desc))
             good = (cd[0] <= c_sc) & (dd[0] <= d_sc)
             for c in range(1, C):
@@ -315,7 +429,6 @@ def _make_lobster_kernel(C, N, rel, offset, div, c_sc, d_sc, c_tot, d_tot, req):
 )
 def consensus_lobster_pallas(
     planes,
-    nb_stacks,
     colors,
     descs,
     rel: float,
@@ -330,38 +443,40 @@ def consensus_lobster_pallas(
 ):
     """Fused LOBSTER consensus; thresholds are compile-time constants (config
     scalars). Tensor args are C-tuples (same layouts as ``consensus_pallas``).
-    Returns the good-sample count [H, W] i32."""
+    Returns (count [H, W] i32, intra C-tuple of i32 descriptors)."""
     C = len(planes)
     N = colors[0].shape[0]
     H, W = planes[0].shape
     ph, pw = (-H) % BH, (-W) % BW
 
-    def pad2(a):
-        return jnp.pad(a.astype(jnp.int32), ((0, ph), (0, pw)))
-
     def pad3(a):
         return jnp.pad(a, ((0, 0), (0, ph), (0, pw)))
 
+    Hp, Wp = H + ph, W + pw
+    plane_views = tuple(
+        pb for p in planes for pb in (_pad_plane_blocks(p, Hp, Wp),) * 9
+    )
     args = (
-        tuple(pad2(p) for p in planes)
-        + tuple(pad3(n.astype(jnp.int32)) for n in nb_stacks)
+        plane_views
         + tuple(pad3(c) for c in colors)  # u8, native
         + tuple(pad3(d) for d in descs)  # u16, native
     )
-    Hp, Wp = H + ph, W + pw
     grid = (Hp // BH, Wp // BW)
     spec2 = pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    spec_nb = pl.BlockSpec((16, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
-    spec_bank = pl.BlockSpec((N, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
-    kernel = _make_lobster_kernel(
-        C, N, rel, offset, div, c_sc, d_sc, c_tot, d_tot, req
+    spec_bank = pl.BlockSpec(
+        (N, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
-    count = pl.pallas_call(
+    kernel = _make_lobster_kernel(
+        C, N, rel, offset, div, c_sc, d_sc, c_tot, d_tot, req, interpret
+    )
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec2] * C + [spec_nb] * C + [spec_bank] * C + [spec_bank] * C,
-        out_specs=[spec2],
-        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)],
+        in_specs=_plane_block_specs() * C + [spec_bank] * (2 * C),
+        out_specs=[spec2] * (1 + C),
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * (1 + C),
         interpret=interpret,
-    )(*args)[0]
-    return count[:H, :W]
+    )(*args)
+    count = outs[0][:H, :W]
+    intra = tuple(o[:H, :W] for o in outs[1:])
+    return count, intra

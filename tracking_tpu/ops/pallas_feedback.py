@@ -105,8 +105,10 @@ def derive_draws(bits, n_samples):
     u_nb = _field(bits[1], 9, 23).astype(jnp.float32) * (2.0 ** -23)
     slot1 = (_field(bits[2], 0, 16) * n_samples) >> 16
     slotn = (_field(bits[2], 16, 16) * n_samples) >> 16
-    o3 = (_field(bits[3], 0, 16) * 9) >> 16
-    o5 = (_field(bits[3], 16, 16) * 25) >> 16
+    # pattern sizes are 8 / 24 (rand()%8 / %24, RandUtils.h:51,73) — NOT the
+    # 9/25 window sizes (that off-by-one double-weighted offset 0)
+    o3 = (_field(bits[3], 0, 16) * 8) >> 16
+    o5 = (_field(bits[3], 16, 16) * 24) >> 16
     return u1, u1, u_nb, slot1, slot1, slotn, slotn, o3, o5
 
 
