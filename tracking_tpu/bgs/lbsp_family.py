@@ -52,6 +52,14 @@ from tracking_tpu.core.registry import register
 from tracking_tpu.ops import lbsp
 from tracking_tpu.ops.filters import binary_median_blur
 from tracking_tpu.ops.morphology import dilate, erode, fill_holes, morph_close
+from tracking_tpu.ops.pallas_consensus import (
+    NB3_IN_NB5,
+    NB5,
+    nb3_to_nb5_idx,
+    pack_pending_ctrl,
+    pack_pending_vals,
+    unpack_pending_ctrl,
+)
 
 # --- constants from BackgroundSubtractorSuBSENSE.cpp:16-46 -----------------
 GHOSTDET_D_MAX = 0.010
@@ -227,6 +235,58 @@ def _pick_neighbor(o_idx: jnp.ndarray, offsets: np.ndarray, arrays):
     return tuple(outs)
 
 
+def _apply_pending_xla(ctrl, vals, colors, descs):
+    """Apply a deferred stochastic-update log to the sample banks — the XLA
+    twin of the Pallas kernels' in-VMEM apply stage
+    (``ops.pallas_consensus._apply_pending_stage``); both backends make
+    bit-identical writes from the same packed log.
+
+    ctrl [H, W] i32 (``pack_pending_ctrl``), vals C-tuple [H, W] i32
+    (``pack_pending_vals``: frame t's color|desc, fire bits on channel 0),
+    colors/descs C-tuples of [N, H, W] u8/u16 banks. Returns the updated
+    banks plus the per-channel post-apply color sums (bg image × N)."""
+    C = len(colors)
+    N = colors[0].shape[0]
+    upd1, slot1, u3, u5, slot3, slot5 = unpack_pending_ctrl(ctrl)
+
+    ok3 = jnp.zeros(ctrl.shape, bool)
+    ok5 = jnp.zeros(ctrl.shape, bool)
+    for k, (dx, dy) in enumerate(NB5):
+        fv = _shift_clamped(vals[0], int(dy), int(dx)) >> 24
+        if k in NB3_IN_NB5:
+            ok3 = ok3 | ((u3 == k) & ((fv & 1) != 0))
+        ok5 = ok5 | ((u5 == k) & ((fv & 2) != 0))
+    okn = ok3 | ok5
+    u = jnp.where(ok3, u3, u5)
+    slotn = jnp.where(ok3, slot3, slot5)
+
+    nbv = [jnp.zeros(ctrl.shape, jnp.int32) for _ in range(C)]
+    for k, (dx, dy) in enumerate(NB5):
+        sel = u == k
+        for c in range(C):
+            nbv[c] = jnp.where(
+                sel, _shift_clamped(vals[c], int(dy), int(dx)), nbv[c]
+            )
+    own_col = [(vals[c] & 0xFF).astype(colors[0].dtype) for c in range(C)]
+    own_desc = [((vals[c] >> 8) & 0xFFFF).astype(descs[0].dtype) for c in range(C)]
+    nb_col = [(v & 0xFF).astype(colors[0].dtype) for v in nbv]
+    nb_desc = [((v >> 8) & 0xFFFF).astype(descs[0].dtype) for v in nbv]
+
+    slot_axis = jnp.arange(N)[:, None, None]
+    m1 = upd1[None] & (slot1[None] == slot_axis)
+    mn = okn[None] & (slotn[None] == slot_axis)
+    new_colors = tuple(
+        jnp.where(mn, nb_col[c][None], jnp.where(m1, own_col[c][None], colors[c]))
+        for c in range(C)
+    )
+    new_descs = tuple(
+        jnp.where(mn, nb_desc[c][None], jnp.where(m1, own_desc[c][None], descs[c]))
+        for c in range(C)
+    )
+    bg_sum = tuple(jnp.sum(nc.astype(jnp.int32), axis=0) for nc in new_colors)
+    return new_colors, new_descs, bg_sum
+
+
 def _to_planes(frame: jnp.ndarray) -> Tuple[Tuple[jnp.ndarray, ...], bool]:
     """[H, W] or [H, W, C] u8 → C-tuple of [H, W], was_gray flag."""
     if frame.ndim == 2:
@@ -288,6 +348,10 @@ class LOBSTER(BGSAlgorithm):
             "colors": tuple(jnp.zeros((N, h, w), jnp.uint8) for _ in range(c)),
             "descs": tuple(jnp.zeros((N, h, w), jnp.uint16) for _ in range(c)),
             "last_final": jnp.zeros((h, w), jnp.uint8),
+            # deferred stochastic-update log (applied at the next step's
+            # consensus; zero ctrl = no writes, so t=0 is a no-op)
+            "pend_ctrl": jnp.zeros((h, w), jnp.int32),
+            "pend_vals": tuple(jnp.zeros((h, w), jnp.int32) for _ in range(c)),
         }
 
     def warm_start(self, state: State, frame: jnp.ndarray) -> State:
@@ -351,12 +415,19 @@ class LOBSTER(BGSAlgorithm):
                 )
             return count + jnp.where(good & (count < required), 1, 0), None
 
+        # Frame t−1's stochastic writes arrive as a pending log and are
+        # applied before the walk (in-VMEM on the Pallas path — bank bytes
+        # cross HBM once per frame for consensus + updates combined; see
+        # ops/pallas_consensus module docstring). Masks are identical to the
+        # eager order; the bg image (bank mean, free from the apply loop)
+        # lags the reference's by one frame of ≤2-slot writes.
         use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             from tracking_tpu.ops.pallas_consensus import consensus_lobster_pallas
 
-            count, k_intra = consensus_lobster_pallas(
+            count, k_intra, bg_sums, colors, descs = consensus_lobster_pallas(
                 planes, colors, descs,
+                state["pend_ctrl"], state["pend_vals"],
                 rel=cfg.fRelLBSPThreshold,
                 offset=float(cfg.nLBSPThresholdOffset),
                 div=2.0 if c == 1 else 1.0,
@@ -366,6 +437,9 @@ class LOBSTER(BGSAlgorithm):
             )
             intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
         else:
+            colors, descs, bg_sums = _apply_pending_xla(
+                state["pend_ctrl"], state["pend_vals"], colors, descs
+            )
             intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
             count, _ = jax.lax.scan(
                 consensus_body, jnp.zeros((h, w), jnp.int32), (colors, descs)
@@ -373,7 +447,7 @@ class LOBSTER(BGSAlgorithm):
         is_bg = (count >= required) & roi
         raw_fg = jnp.where(roi & ~is_bg, jnp.uint8(255), jnp.uint8(0))
 
-        # -- stochastic updates (:209-222) -----------------------------------
+        # -- stochastic updates (:209-222), logged for the next step ---------
         lr = int(np.ceil(cfg.learningRate))
         r_self = jax.random.randint(keys[2], (h, w), 0, _RMAX)
         slot_self = jax.random.randint(keys[3], (h, w), 0, N)
@@ -381,50 +455,22 @@ class LOBSTER(BGSAlgorithm):
 
         # neighbor spread, gather form: dest p draws offset o; source q = p−o
         # passes its own 1/lr draw and BG test; p receives q's color/desc.
+        # 3×3-only spread: fire bit1 (5×5) stays clear, u5/slot5 inert.
         r_nb_dec = jax.random.randint(keys[4], (h, w), 0, _RMAX)
         o_idx = jax.random.randint(keys[5], (h, w), 0, len(_NB3))
         src_fire = is_bg & (r_nb_dec % lr == 0)
         slot_nb = jax.random.randint(keys[6], (h, w), 0, N)
-        if use_pallas:
-            from tracking_tpu.ops.pallas_bank_update import (
-                bank_update_pallas,
-                nb3_to_nb5_idx,
-            )
-
-            # 3×3-only spread: bit1 (5×5 fire) stays clear, u5/slot5 inert
-            colors, descs = bank_update_pallas(
-                self_upd, slot_self, src_fire.astype(jnp.uint8),
-                nb3_to_nb5_idx(o_idx), jnp.zeros((h, w), jnp.int32),
-                slot_nb, jnp.zeros((h, w), jnp.int32),
-                planes, intra_desc, colors, descs,
-            )
-        else:
-            picked = _pick_neighbor(
-                o_idx, _NB3, (src_fire,) + tuple(planes) + tuple(intra_desc)
-            )
-            q_ok, q_colors, q_descs = (
-                picked[0], picked[1 : 1 + c], picked[1 + c :]
-            )
-            m1 = self_upd[None] & (slot_self[None] == jnp.arange(N)[:, None, None])
-            colors = tuple(
-                jnp.where(m1, planes[ci][None], colors[ci]) for ci in range(c)
-            )
-            descs = tuple(
-                jnp.where(m1, intra_desc[ci][None], descs[ci]) for ci in range(c)
-            )
-            mn = q_ok[None] & (slot_nb[None] == jnp.arange(N)[:, None, None])
-            colors = tuple(
-                jnp.where(mn, q_colors[ci][None], colors[ci]) for ci in range(c)
-            )
-            descs = tuple(
-                jnp.where(mn, q_descs[ci][None], descs[ci]) for ci in range(c)
-            )
+        zero = jnp.zeros((h, w), jnp.int32)
+        pend_ctrl = pack_pending_ctrl(
+            self_upd, slot_self, nb3_to_nb5_idx(o_idx), zero, slot_nb, zero
+        )
+        pend_vals = pack_pending_vals(planes, intra_desc, src_fire)
 
         # -- post-proc: median blur 9 (:287) ---------------------------------
         final = binary_median_blur(raw_fg, DEFAULT_MEDIAN_KSIZE)
 
         bg_planes = tuple(
-            jnp.rint(jnp.mean(colors[ci].astype(jnp.float32), axis=0)).astype(jnp.uint8)
+            jnp.rint(bg_sums[ci].astype(jnp.float32) / N).astype(jnp.uint8)
             for ci in range(c)
         )
         new_state = {
@@ -433,6 +479,8 @@ class LOBSTER(BGSAlgorithm):
             "colors": colors,
             "descs": descs,
             "last_final": final,
+            "pend_ctrl": pend_ctrl,
+            "pend_vals": pend_vals,
         }
         return new_state, final, _from_planes(bg_planes, was_gray)
 
@@ -553,6 +601,10 @@ class SuBSENSE(BGSAlgorithm):
             "auto_reset": jnp.array(True),
             "lr_lower": jnp.asarray(t_lower, jnp.float32),
             "lr_upper": jnp.asarray(t_upper, jnp.float32),
+            # deferred stochastic-update log (applied at the next step's
+            # consensus; zero ctrl = no writes, so t=0 is a no-op)
+            "pend_ctrl": jnp.zeros((h, w), jnp.int32),
+            "pend_vals": tuple(jnp.zeros((h, w), jnp.int32) for _ in range(c)),
         }
 
     def warm_start(self, state: State, frame: jnp.ndarray) -> State:
@@ -668,24 +720,34 @@ class SuBSENSE(BGSAlgorithm):
         # border state stays bit-identical.
         required_eff = jnp.where(roi, jnp.asarray(required, jnp.int32), 0)
 
-        # Pallas fast path: fused VMEM-resident consensus (bank bytes cross
-        # HBM once; neighbor views + intra descriptors built in-kernel from
-        # the raw planes); real TPU only.
+        # Pallas fast path: fused VMEM-resident consensus with frame t−1's
+        # pending stochastic writes applied in-kernel first (bank bytes cross
+        # HBM exactly once per frame for consensus + updates + bg image
+        # combined; neighbor views + intra descriptors built in-kernel from
+        # the raw planes); real TPU only. Masks are identical to the eager
+        # write order; the bg image (bank mean, free from the apply loop)
+        # lags the reference's by one frame of ≤2-slot writes.
         if use_pallas:
             from tracking_tpu.ops.pallas_consensus import consensus_pallas
 
-            count, min_desc, min_sum, k_intra = consensus_pallas(
-                planes, colors, descs,
-                state["lut_delta"], R, old_unstable,
-                required=required_eff,
-                rel=cfg.fRelLBSPThreshold,
-                div=3.0 if c == 1 else 1.0,
-                hi_const=float(np.rint(255 * cfg.fRelLBSPThreshold)),
-                min_cd=int(cfg.nMinColorDistThreshold),
-                desc_off=int(cfg.nDescDistThresholdOffset),
+            count, min_desc, min_sum, k_intra, bg_sums, colors, descs = (
+                consensus_pallas(
+                    planes, colors, descs,
+                    state["pend_ctrl"], state["pend_vals"],
+                    state["lut_delta"], R, old_unstable,
+                    required=required_eff,
+                    rel=cfg.fRelLBSPThreshold,
+                    div=3.0 if c == 1 else 1.0,
+                    hi_const=float(np.rint(255 * cfg.fRelLBSPThreshold)),
+                    min_cd=int(cfg.nMinColorDistThreshold),
+                    desc_off=int(cfg.nDescDistThresholdOffset),
+                )
             )
             intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
         else:
+            colors, descs, bg_sums = _apply_pending_xla(
+                state["pend_ctrl"], state["pend_vals"], colors, descs
+            )
             intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
             carry0 = (
                 jnp.zeros((h, w), jnp.int32),
@@ -763,50 +825,16 @@ class SuBSENSE(BGSAlgorithm):
         unstable = fb.unstable
         upd1, slot1 = fb.upd1, fb.slot1
 
-        # BG neighbor spread (:387-404; see module docstring). Pallas path:
-        # the random-offset pick runs inside the bank-update kernel (halo'd
-        # fire/value views); XLA path: gather-free select chains here.
-        if use_pallas:
-            from tracking_tpu.ops.pallas_bank_update import (
-                bank_update_pallas,
-                nb3_to_nb5_idx,
-            )
-
-            fires = fb.fire3.astype(jnp.uint8) | (fb.fire5.astype(jnp.uint8) << 1)
-            colors, descs = bank_update_pallas(
-                upd1, slot1, fires, nb3_to_nb5_idx(fb.o3), fb.o5,
-                fb.slot3, fb.slot5, planes, intra_desc, colors, descs,
-            )
-        else:
-            src_arrays = tuple(planes) + tuple(intra_desc)
-            p3 = _pick_neighbor(fb.o3, _NB3, (fb.fire3,) + src_arrays)
-            p5 = _pick_neighbor(fb.o5, _NB5, (fb.fire5,) + src_arrays)
-            ok3, ok5 = p3[0], p5[0]
-            okn = ok3 | ok5  # 3x3 takes precedence on (rare) collisions
-            slotn = jnp.where(ok3, fb.slot3, fb.slot5)
-
-            # single fused bank write: the self/cooldown update (stage 1) and
-            # the neighbor-spread write (stage 2) touch each destination
-            # pixel's own bank, so both resolve in one [N, H, W] select; the
-            # later stage wins on the rare same-slot collision (matching the
-            # sequential order).
-            nb_col = tuple(
-                jnp.where(ok3, p3[1 + ci], p5[1 + ci]) for ci in range(c)
-            )
-            nb_desc = tuple(
-                jnp.where(ok3, p3[1 + c + ci], p5[1 + c + ci]) for ci in range(c)
-            )
-            slot_axis = jnp.arange(N)[:, None, None]
-            m1 = upd1[None] & (slot1[None] == slot_axis)
-            mn = okn[None] & (slotn[None] == slot_axis)
-            colors = tuple(
-                jnp.where(mn, nb_col[ci][None], jnp.where(m1, planes[ci][None], colors[ci]))
-                for ci in range(c)
-            )
-            descs = tuple(
-                jnp.where(mn, nb_desc[ci][None], jnp.where(m1, intra_desc[ci][None], descs[ci]))
-                for ci in range(c)
-            )
+        # BG self + neighbor-spread writes (:381-404; see module docstring):
+        # logged as the pending control word + packed frame values, applied
+        # by the NEXT step's consensus (in-VMEM on the Pallas path,
+        # _apply_pending_xla otherwise) — both backends replay the identical
+        # log bit-identically.
+        fires = fb.fire3.astype(jnp.uint8) | (fb.fire5.astype(jnp.uint8) << 1)
+        pend_ctrl = pack_pending_ctrl(
+            upd1, slot1, nb3_to_nb5_idx(fb.o3), fb.o5, fb.slot3, fb.slot5
+        )
+        pend_vals = pack_pending_vals(planes, intra_desc, fires)
 
         # -- feedback (:406-429): fused above ---------------------------------
         T, v, R = fb.T, fb.v, fb.R
@@ -874,13 +902,21 @@ class SuBSENSE(BGSAlgorithm):
             n_refresh = max(int(0.1 * N), 1)
             start = jax.random.randint(keys[8], (), 0, N)
 
-            colors, descs = jax.lax.cond(
-                trigger,
-                lambda cd: _refresh_samples(
-                    keys[9], N, n_refresh, start, planes, intra_desc, ~final_fg, *cd
-                ),
-                lambda cd: cd,
-                (colors, descs),
+            # The reference refreshes AFTER frame t's stochastic writes
+            # (:656-700 runs at frame end): the rare trigger branch applies
+            # the pending log eagerly, refreshes, and clears the log so the
+            # next step doesn't replay it.
+            def _do_refresh(args):
+                cd_colors, cd_descs, ctrl = args
+                ac, ad, _ = _apply_pending_xla(ctrl, pend_vals, cd_colors, cd_descs)
+                rc, rd = _refresh_samples(
+                    keys[9], N, n_refresh, start, planes, intra_desc, ~final_fg,
+                    ac, ad,
+                )
+                return rc, rd, jnp.zeros_like(ctrl)
+
+            colors, descs, pend_ctrl = jax.lax.cond(
+                trigger, _do_refresh, lambda a: a, (colors, descs, pend_ctrl)
             )
             T = jnp.where(trigger, jnp.ones_like(T), T)
             cooldown = jnp.where(trigger, cfg.nSamplesForMovingAvgs // 4, cooldown)
@@ -907,7 +943,7 @@ class SuBSENSE(BGSAlgorithm):
             cooldown = jnp.maximum(cooldown - 1, 0)
 
         bg_planes = tuple(
-            jnp.rint(jnp.mean(colors[ci].astype(jnp.float32), axis=0)).astype(jnp.uint8)
+            jnp.rint(bg_sums[ci].astype(jnp.float32) / N).astype(jnp.uint8)
             for ci in range(c)
         )
 
@@ -943,5 +979,7 @@ class SuBSENSE(BGSAlgorithm):
             "auto_reset": auto_reset,
             "lr_lower": lr_lower,
             "lr_upper": lr_upper,
+            "pend_ctrl": pend_ctrl,
+            "pend_vals": pend_vals,
         }
         return new_state, final, _from_planes(bg_planes, was_gray)

@@ -1,4 +1,5 @@
-"""Pallas TPU kernel: fused SuBSENSE/LOBSTER sample-consensus.
+"""Pallas TPU kernel: fused SuBSENSE/LOBSTER sample-consensus with deferred
+bank writes.
 
 The consensus is the hot inner loop of the LBSP family
 (``pl/BackgroundSubtractorSuBSENSE.cpp:332-358``): for every pixel, walk the
@@ -10,8 +11,22 @@ descriptor built against the *sample's* color and threshold), and count
 The XLA formulation (lax.scan over the bank axis) round-trips its [H, W]
 carries and bank slices through HBM on every sample. This kernel instead
 tiles the image plane over a grid and holds a tile's entire [N, bh, bw]
-color/desc banks in VMEM, fusing the whole N-sample walk into one pass —
-bank bytes cross HBM exactly once.
+color/desc banks in VMEM, fusing the whole N-sample walk into one pass.
+
+**Deferred bank writes**: the reference's per-frame order is consensus(t) →
+stochastic bank writes(t) → feedback(t); the writes touch ≤ 2 of N slots per
+pixel but a separate write pass must stream every bank byte through HBM
+again (read+write — ~1.7 ms at 720p color on top of the consensus read).
+Instead, frame t's writes are carried as a *pending log* — one packed
+control word per pixel (self/spread slot+offset draws, see
+:func:`pack_pending_ctrl`) plus the frame's packed color|desc values — and
+applied by THIS kernel at frame t+1, to the VMEM-resident tile, before the
+walk. The banks are donated inputs aliased to outputs, so bank bytes cross
+HBM exactly once per frame (one read + one write) for consensus AND updates
+combined. Masks are bit-identical to the eager order: the mask at t depends
+on banks updated through t−1 either way. The per-pixel background image
+(mean over the bank) falls out of the apply loop for free as a ``bg_sum``
+output, removing the separate full-bank mean pass.
 
 The 16-neighbor LBSP stack is built IN-KERNEL from the raw u8 planes: each
 plane is edge-padded by one block and passed as 9 shifted-block views
@@ -54,6 +69,16 @@ def _popcount16(v):
     v = (v & 0x3333) + ((v >> 2) & 0x3333)
     v = (v + (v >> 4)) & 0x0F0F
     return (v + (v >> 8)) & 0x1F
+
+
+def _popcount32(v):
+    """One SWAR popcount over a 32-bit word = two 16-bit popcounts for the
+    price of one (the final byte-sum multiply cannot carry: nibble-pair sums
+    are ≤ 8 per byte, total ≤ 32)."""
+    v = v - ((v >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    return (v * 0x01010101) >> 24
 
 
 def _pack16(bits):
@@ -127,10 +152,171 @@ def _plane_block_specs():
     return specs
 
 
+# ---------------------------------------------------------------------------
+# Pending-write machinery (deferred stochastic bank updates)
+# ---------------------------------------------------------------------------
+
+# 5×5 neighbor offsets, (x, y), reference traversal order (RandUtils.h:62-81)
+NB5 = tuple(
+    (x, y)
+    for y in (2, 1, 0, -1, -2)
+    for x in (-2, -1, 0, 1, 2)
+    if not (x == 0 and y == 0)
+)
+# 3×3 offsets (RandUtils.h:52-59) as indices into NB5
+_NB3 = ((-1, 1), (0, 1), (1, 1), (-1, 0), (1, 0), (-1, -1), (0, -1), (1, -1))
+NB3_IN_NB5 = tuple(NB5.index(o) for o in _NB3)
+
+
+def nb3_to_nb5_idx(o3: jnp.ndarray) -> jnp.ndarray:
+    """Map a 3×3 offset draw (0..7) to its unified 5×5 index — an 8-way
+    select chain (a table gather over [H, W] indices costs ~25 ms)."""
+    out = jnp.zeros_like(o3)
+    for k, u in enumerate(NB3_IN_NB5):
+        out = jnp.where(o3 == k, u, out)
+    return out
+
+
+def pack_pending_ctrl(upd1, slot1, u3, u5, slot3, slot5):
+    """Pack the per-pixel write draws into one i32 word:
+    bit 0 upd1 (self/cooldown write), bits 1-6 slot1, bits 7-11 u3 (unified
+    5×5 index of the 3×3 spread draw, via :func:`nb3_to_nb5_idx`), bits
+    12-16 u5, bits 17-22 slot3, bits 23-28 slot5. Slots fit N ≤ 63."""
+    return (
+        upd1.astype(jnp.int32)
+        | (slot1.astype(jnp.int32) << 1)
+        | (u3.astype(jnp.int32) << 7)
+        | (u5.astype(jnp.int32) << 12)
+        | (slot3.astype(jnp.int32) << 17)
+        | (slot5.astype(jnp.int32) << 23)
+    )
+
+
+def pack_pending_vals(planes, intras, fires):
+    """Per-channel packed source words ``plane | intra << 8``; the spread
+    fire bits ride channel 0's bits 24-25 (bit 24 = 3×3 fired, 25 = 5×5)."""
+    vals = [
+        planes[c].astype(jnp.int32) | (intras[c].astype(jnp.int32) << 8)
+        for c in range(len(planes))
+    ]
+    vals[0] = vals[0] | (fires.astype(jnp.int32) << 24)
+    return tuple(vals)
+
+
+def unpack_pending_ctrl(w):
+    return (
+        (w & 1) != 0,        # upd1
+        (w >> 1) & 63,       # slot1
+        (w >> 7) & 31,       # u3 (NB5 index)
+        (w >> 12) & 31,      # u5
+        (w >> 17) & 63,      # slot3
+        (w >> 23) & 63,      # slot5
+    )
+
+
+def interior_rep(a, border: int = 2):
+    """Replicate the ROI-interior edge outward: shifted views of the result
+    reproduce the reference's clamp of spread positions into the 2-px ROI
+    interior (``_shift_clamped`` parity)."""
+    return jnp.pad(a[border:-border, border:-border], border, mode="edge")
+
+
+def _view(get_blk, dx, dy, interp):
+    """Tile view V(p) = P(p − (dx, dy)) from the 9-block neighborhood
+    (single-offset version of :func:`_nb_views`)."""
+    sy, sx = -dy, -dx  # V(y, x) = P(y + sy, x + sx)
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
+
+    def roll2(b):
+        return _roll(_roll(b, -sy, 0, interp), -sx, 1, interp)
+
+    def rowres(dj):
+        c_ = roll2(get_blk(0, dj))
+        if sy < 0:
+            return jnp.where(i0 < -sy, roll2(get_blk(-1, dj)), c_)
+        if sy > 0:
+            return jnp.where(i0 >= BH - sy, roll2(get_blk(1, dj)), c_)
+        return c_
+
+    v = rowres(0)
+    if sx < 0:
+        v = jnp.where(i1 < -sx, rowres(-1), v)
+    elif sx > 0:
+        v = jnp.where(i1 >= BW - sx, rowres(1), v)
+    return v
+
+
+def _apply_pending_stage(
+    C, N, ctrl, own_vals, pend_blk, col_in, desc_in, col_out, desc_out, interp
+):
+    """Kernel stage: resolve the spread picks from halo'd packed-value views,
+    apply the ≤ 2 slot writes per pixel to the output bank refs (all N slots
+    pass through VMEM selects), and accumulate the per-channel color sum of
+    the POST-apply bank (the background image, ``getBackgroundImage``).
+
+    ctrl: unpacked i32 tile of control words. own_vals: C in-refs of the
+    un-replicated packed values (the destination pixel's own frame-t
+    color|desc). pend_blk(c, di, dj): i32 block view of the interior-
+    replicated packed values. Write precedence matches the sequential
+    reference: the neighbor spread (second loop) wins over the self write
+    on a same-slot collision. Returns the C bg sums ([BH, BW] i32)."""
+    upd1, slot1, u3, u5, slot3, slot5 = unpack_pending_ctrl(ctrl)
+
+    # -- spread pick: fire tests, then one unified value pick ---------------
+    f = jnp.bool_(False)
+    ok3 = jnp.full((BH, BW), f)
+    ok5 = jnp.full((BH, BW), f)
+    for k, (dx, dy) in enumerate(NB5):
+        fv = _view(partial(pend_blk, 0), dx, dy, interp) >> 24
+        if k in NB3_IN_NB5:
+            ok3 = ok3 | ((u3 == k) & ((fv & 1) != 0))
+        ok5 = ok5 | ((u5 == k) & ((fv & 2) != 0))
+    okn = ok3 | ok5
+    u = jnp.where(ok3, u3, u5)
+    slotn = jnp.where(ok3, slot3, slot5)
+
+    nbv = [jnp.zeros((BH, BW), jnp.int32) for _ in range(C)]
+    for k, (dx, dy) in enumerate(NB5):
+        sel = u == k
+        for c in range(C):
+            nbv[c] = jnp.where(
+                sel, _view(partial(pend_blk, c), dx, dy, interp), nbv[c]
+            )
+    nb_col = [(v & 0xFF).astype(col_in[0].dtype) for v in nbv]
+    nb_desc = [((v >> 8) & 0xFFFF).astype(desc_in[0].dtype) for v in nbv]
+
+    own = [own_vals[c][...] for c in range(C)]
+    own_col = [(v & 0xFF).astype(col_in[0].dtype) for v in own]
+    own_desc = [((v >> 8) & 0xFFFF).astype(desc_in[0].dtype) for v in own]
+
+    # -- in-place slot writes + bg accumulation -----------------------------
+    def body(j, bg):
+        w1 = upd1 & (slot1 == j)
+        w2 = okn & (slotn == j)
+        out = []
+        for c in range(C):
+            cur = col_in[c][j]
+            newc = jnp.where(w2, nb_col[c], jnp.where(w1, own_col[c], cur))
+            col_out[c][j] = newc
+            curd = desc_in[c][j]
+            desc_out[c][j] = jnp.where(
+                w2, nb_desc[c], jnp.where(w1, own_desc[c], curd)
+            )
+            out.append(bg[c] + newc.astype(jnp.int32))
+        return tuple(out)
+
+    return jax.lax.fori_loop(
+        0, N, body, tuple(jnp.zeros((BH, BW), jnp.int32) for _ in range(C))
+    )
+
+
 def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp):
     """Kernel body closure. Refs order:
-    [plane blocks×9×C, colors×C, descs×C, delta, R, unstable, req]
-    outputs [count, min_desc, min_sum, intra×C].
+    [plane blocks×9×C, own_vals×C, ctrl, pend blocks×9×C,
+     colors×C, descs×C, delta, R, unstable, req]
+    outputs [count, min_desc, min_sum, intra×C, bg_sum×C,
+             colors×C, descs×C (aliased to the input banks)].
 
     The R(x)-dependent thresholds are computed per-tile from R and the old
     unstable mask (``BackgroundSubtractorSuBSENSE.cpp:327-328``) instead of
@@ -142,16 +328,34 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp):
         def get_blk(c, di, dj):
             return refs[9 * c + (di + 1) * 3 + (dj + 1)][...].astype(jnp.int32)
 
-        base = 9 * C
-        colors = refs[base : base + C]
-        descs = refs[base + C : base + 2 * C]
+        pb0 = 9 * C
+        own_vals = refs[pb0 : pb0 + C]
+        ctrl_ref = refs[pb0 + C]
+
+        def pend_blk(c, di, dj):
+            return refs[pb0 + C + 1 + 9 * c + (di + 1) * 3 + (dj + 1)][...]
+
+        base = pb0 + C + 1 + 9 * C
+        col_in = refs[base : base + C]
+        desc_in = refs[base + C : base + 2 * C]
         delta_ref = refs[base + 2 * C]
         r_ref = refs[base + 2 * C + 1]
         unst_ref = refs[base + 2 * C + 2]
         req_ref = refs[base + 2 * C + 3]
         outs = refs[base + 2 * C + 4 :]
         count_ref, mind_ref, mins_ref = outs[:3]
-        intra_refs = outs[3:]
+        intra_refs = outs[3 : 3 + C]
+        bg_refs = outs[3 + C : 3 + 2 * C]
+        colors = outs[3 + 2 * C : 3 + 3 * C]
+        descs = outs[3 + 3 * C : 3 + 4 * C]
+
+        # -- apply frame-(t−1)'s pending writes to the VMEM tiles ------------
+        bg = _apply_pending_stage(
+            C, N, ctrl_ref[...], own_vals, pend_blk,
+            col_in, desc_in, colors, descs, interp,
+        )
+        for c in range(C):
+            bg_refs[c][...] = bg[c]
 
         delta = delta_ref[0, 0].astype(jnp.float32)
         R = r_ref[...]
@@ -211,9 +415,10 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp):
                     (jnp.abs(nb[c][k] - s_col) > sthr) for k in range(16)
                 ]
                 inter = _pack16(jnp.stack(bits))
-                intra_d = _popcount16(intra[c] ^ s_desc)
-                inter_d = _popcount16(inter ^ s_desc)
-                dd.append((intra_d + inter_d) // 2)
+                # (popcount(intra⊕s) + popcount(inter⊕s)) // 2 as ONE 32-bit
+                # popcount of the concatenated halves — exact
+                w = (intra[c] ^ s_desc) | ((inter ^ s_desc) << 16)
+                dd.append(_popcount32(w) // 2)
             if C == 1:
                 sum_d = jnp.minimum((dd[0] // 4) * (255 // 16) + cd[0], 255)
                 good = (
@@ -273,6 +478,8 @@ def consensus_pallas(
     planes,
     colors,
     descs,
+    pend_ctrl,
+    pend_vals,
     lut_delta,
     R,
     unstable,
@@ -284,13 +491,16 @@ def consensus_pallas(
     desc_off: int,
     interpret: bool = False,
 ):
-    """Fused consensus. All tensor args are C-tuples:
-    planes [H, W] u8, colors/descs [N, H, W] u8/u16; R [H, W] f32; unstable
-    [H, W] bool/int; lut_delta scalar i32; required is a scalar or [H, W]
-    i32 map (the subsenseShrink per-pixel offset); min_cd/desc_off the
-    config threshold constants (thresholds are derived in-kernel). Returns
-    (count, min_desc, min_sum, intra) i32 [H, W]; intra is a C-tuple of the
-    16-bit intra-frame LBSP descriptors (i32)."""
+    """Fused consensus + deferred bank update. All tensor args are C-tuples:
+    planes [H, W] u8, colors/descs [N, H, W] u8/u16 (donated; aliased to the
+    returned banks); pend_ctrl [H, W] i32 (:func:`pack_pending_ctrl`);
+    pend_vals C-tuple [H, W] i32 (:func:`pack_pending_vals`); R [H, W] f32;
+    unstable [H, W] bool/int; lut_delta scalar i32; required is a scalar or
+    [H, W] i32 map (the subsenseShrink per-pixel offset); min_cd/desc_off
+    the config threshold constants (thresholds are derived in-kernel).
+    Returns (count, min_desc, min_sum, intra, bg_sum, colors, descs):
+    i32 [H, W] maps (intra = C-tuple of 16-bit intra-frame LBSP descriptors,
+    bg_sum = C-tuple of post-apply bank color sums) and the updated banks."""
     C = len(planes)
     N = colors[0].shape[0]
     H, W = planes[0].shape
@@ -307,10 +517,18 @@ def consensus_pallas(
     plane_views = tuple(
         pb for p in planes for pb in (_pad_plane_blocks(p, Hp, Wp),) * 9
     )
+    pend_views = tuple(
+        pb
+        for v in pend_vals
+        for pb in (_pad_plane_blocks(interior_rep(v), Hp, Wp),) * 9
+    )
     args = (
         plane_views
+        + tuple(pad2(v) for v in pend_vals)
+        + (pad2(pend_ctrl),)
+        + pend_views
         + tuple(pad3(c) for c in colors)  # u8, native
-        + tuple(pad3(d.astype(jnp.int16)) for d in descs)  # u16→i16 bitcast-safe
+        + tuple(pad3(d) for d in descs)  # u16, native (aliasing needs dtype match)
         + (lut_delta.astype(jnp.int32).reshape(1, 1),)
         + (jnp.pad(R.astype(jnp.float32), ((0, ph), (0, pw))), pad2(unstable))
         + (pad2(jnp.broadcast_to(jnp.asarray(required, jnp.int32), (H, W))),)
@@ -325,11 +543,20 @@ def consensus_pallas(
 
     in_specs = (
         _plane_block_specs() * C
+        + [spec2] * (C + 1)
+        + _plane_block_specs() * C
         + [spec_bank] * (2 * C)
         + [spec_scalar, spec2, spec2, spec2]
     )
-    out_shape = [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * (3 + C)
-    out_specs = [spec2] * (3 + C)
+    n_bank_in = 9 * C + C + 1 + 9 * C  # index of the first bank input
+    n_map_out = 3 + 2 * C
+    out_shape = (
+        [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * n_map_out
+        + [jax.ShapeDtypeStruct((N, Hp, Wp), colors[0].dtype)] * C
+        + [jax.ShapeDtypeStruct((N, Hp, Wp), descs[0].dtype)] * C
+    )
+    out_specs = [spec2] * n_map_out + [spec_bank] * (2 * C)
+    aliases = {n_bank_in + k: n_map_out + k for k in range(2 * C)}
 
     kernel = _make_kernel(
         C, N, rel, div, hi_const, C == 1, min_cd, desc_off, interpret
@@ -340,11 +567,15 @@ def consensus_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*args)
     count, mind, mins = (o[:H, :W] for o in outs[:3])
-    intra = tuple(o[:H, :W] for o in outs[3:])
-    return count, mind, mins, intra
+    intra = tuple(o[:H, :W] for o in outs[3 : 3 + C])
+    bg_sum = tuple(o[:H, :W] for o in outs[3 + C : n_map_out])
+    new_colors = tuple(o[:, :H, :W] for o in outs[n_map_out : n_map_out + C])
+    new_descs = tuple(o[:, :H, :W] for o in outs[n_map_out + C :])
+    return count, mind, mins, intra, bg_sum, new_colors, new_descs
 
 
 def _make_lobster_kernel(
@@ -352,9 +583,11 @@ def _make_lobster_kernel(
 ):
     """LOBSTER variant (``BackgroundSubtractorLOBSTER.cpp:191-262``): fixed
     scalar thresholds, descriptor distance = inter-frame hamming only (no
-    intra average, no min tracking). Refs: [plane blocks×9×C, colors×C,
-    descs×C] → [count, intra×C] (intra is not used by the match but is
-    needed by the caller's bank updates and carried state).
+    intra average, no min tracking). Refs: [plane blocks×9×C, own_vals×C,
+    ctrl, pend blocks×9×C, colors×C, descs×C] → [count, intra×C, bg_sum×C,
+    colors×C, descs×C (aliased)]; the pending writes are frame t−1's
+    stochastic updates, applied in-VMEM before the walk (see module
+    docstring), and intra feeds the caller's next pending log.
 
     i16 in-kernel arithmetic was tried and rejected: this Mosaic/v5e
     toolchain cannot legalize i16 vector absi/maxsi/cmpi, so everything
@@ -364,11 +597,29 @@ def _make_lobster_kernel(
         def get_blk(c, di, dj):
             return refs[9 * c + (di + 1) * 3 + (dj + 1)][...].astype(jnp.int32)
 
-        base = 9 * C
-        colors = refs[base : base + C]
-        descs = refs[base + C : base + 2 * C]
-        count_ref = refs[base + 2 * C]
-        intra_refs = refs[base + 2 * C + 1 :]
+        pb0 = 9 * C
+        own_vals = refs[pb0 : pb0 + C]
+        ctrl_ref = refs[pb0 + C]
+
+        def pend_blk(c, di, dj):
+            return refs[pb0 + C + 1 + 9 * c + (di + 1) * 3 + (dj + 1)][...]
+
+        base = pb0 + C + 1 + 9 * C
+        col_in = refs[base : base + C]
+        desc_in = refs[base + C : base + 2 * C]
+        outs = refs[base + 2 * C :]
+        count_ref = outs[0]
+        intra_refs = outs[1 : 1 + C]
+        bg_refs = outs[1 + C : 1 + 2 * C]
+        colors = outs[1 + 2 * C : 1 + 3 * C]
+        descs = outs[1 + 3 * C : 1 + 4 * C]
+
+        bg = _apply_pending_stage(
+            C, N, ctrl_ref[...], own_vals, pend_blk,
+            col_in, desc_in, colors, descs, interp,
+        )
+        for c in range(C):
+            bg_refs[c][...] = bg[c]
 
         def thr_of(v):
             raw = (v.astype(jnp.float32) * rel + offset) / div
@@ -431,6 +682,8 @@ def consensus_lobster_pallas(
     planes,
     colors,
     descs,
+    pend_ctrl,
+    pend_vals,
     rel: float,
     offset: float,
     div: float,
@@ -441,13 +694,18 @@ def consensus_lobster_pallas(
     req: int,
     interpret: bool = False,
 ):
-    """Fused LOBSTER consensus; thresholds are compile-time constants (config
-    scalars). Tensor args are C-tuples (same layouts as ``consensus_pallas``).
-    Returns (count [H, W] i32, intra C-tuple of i32 descriptors)."""
+    """Fused LOBSTER consensus + deferred bank update; thresholds are
+    compile-time constants (config scalars). Tensor args are C-tuples (same
+    layouts as ``consensus_pallas``; banks donated/aliased). Returns
+    (count [H, W] i32, intra C-tuple of i32 descriptors, bg_sum C-tuple of
+    i32 post-apply color sums, colors, descs)."""
     C = len(planes)
     N = colors[0].shape[0]
     H, W = planes[0].shape
     ph, pw = (-H) % BH, (-W) % BW
+
+    def pad2(a):
+        return jnp.pad(a.astype(jnp.int32), ((0, ph), (0, pw)))
 
     def pad3(a):
         return jnp.pad(a, ((0, 0), (0, ph), (0, pw)))
@@ -456,8 +714,16 @@ def consensus_lobster_pallas(
     plane_views = tuple(
         pb for p in planes for pb in (_pad_plane_blocks(p, Hp, Wp),) * 9
     )
+    pend_views = tuple(
+        pb
+        for v in pend_vals
+        for pb in (_pad_plane_blocks(interior_rep(v), Hp, Wp),) * 9
+    )
     args = (
         plane_views
+        + tuple(pad2(v) for v in pend_vals)
+        + (pad2(pend_ctrl),)
+        + pend_views
         + tuple(pad3(c) for c in colors)  # u8, native
         + tuple(pad3(d) for d in descs)  # u16, native
     )
@@ -469,14 +735,30 @@ def consensus_lobster_pallas(
     kernel = _make_lobster_kernel(
         C, N, rel, offset, div, c_sc, d_sc, c_tot, d_tot, req, interpret
     )
+    n_bank_in = 9 * C + C + 1 + 9 * C
+    n_map_out = 1 + 2 * C
+    out_shape = (
+        [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * n_map_out
+        + [jax.ShapeDtypeStruct((N, Hp, Wp), colors[0].dtype)] * C
+        + [jax.ShapeDtypeStruct((N, Hp, Wp), descs[0].dtype)] * C
+    )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=_plane_block_specs() * C + [spec_bank] * (2 * C),
-        out_specs=[spec2] * (1 + C),
-        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * (1 + C),
+        in_specs=(
+            _plane_block_specs() * C
+            + [spec2] * (C + 1)
+            + _plane_block_specs() * C
+            + [spec_bank] * (2 * C)
+        ),
+        out_specs=[spec2] * n_map_out + [spec_bank] * (2 * C),
+        out_shape=out_shape,
+        input_output_aliases={n_bank_in + k: n_map_out + k for k in range(2 * C)},
         interpret=interpret,
     )(*args)
     count = outs[0][:H, :W]
-    intra = tuple(o[:H, :W] for o in outs[1:])
-    return count, intra
+    intra = tuple(o[:H, :W] for o in outs[1 : 1 + C])
+    bg_sum = tuple(o[:H, :W] for o in outs[1 + C : n_map_out])
+    new_colors = tuple(o[:, :H, :W] for o in outs[n_map_out : n_map_out + C])
+    new_descs = tuple(o[:, :H, :W] for o in outs[n_map_out + C :])
+    return count, intra, bg_sum, new_colors, new_descs
