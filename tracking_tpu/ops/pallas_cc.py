@@ -103,9 +103,10 @@ def _local_converge(lab, m, big, conn8, interp):
 
 
 def _make_kernel(big, conn8, interp):
-    def kernel(lab_in, lab_out, bot_row, right_col):
+    def kernel(first_ref, lab_in, lab_out, bot_row, right_col):
         i = pl.program_id(0)
         j = pl.program_id(1)
+        first = first_ref[0, 0]
         lab = lab_in[...]
         # fg encoded in the labels: off-fg pixels carry `big`
         m = jnp.where(lab >= big, big, 0)
@@ -147,7 +148,18 @@ def _make_kernel(big, conn8, interp):
         inj_l = jnp.where(col0, jnp.broadcast_to(cand_l, (BH, BW)), big)
         lab = jnp.minimum(lab, jnp.minimum(jnp.minimum(inj_t, inj_l) + m, big))
 
-        lab = _local_converge(lab, m, big, conn8, interp)
+        # Injection-skip (exact): except on the very first pass, every tile
+        # enters already locally converged (its convergence ran when it was
+        # last visited and nothing else wrote it since), so if the boundary
+        # injection lowered no pixel the sweep would be the identity — skip
+        # it. Turns the fixed-point-confirm round into injection-only work.
+        changed = (first != 0) | jnp.any(lab != lab_in[...])
+        lab = jax.lax.cond(
+            changed,
+            lambda l: _local_converge(l, m, big, conn8, interp),
+            lambda l: l,
+            lab,
+        )
 
         lab_out[...] = lab
         bot_row[j] = jnp.broadcast_to(lab[BH - 1 :, :], (8, BW))
@@ -158,23 +170,24 @@ def _make_kernel(big, conn8, interp):
     return kernel
 
 
-def _raster_pass(lab, big, conn8, interpret):
+def _raster_pass(lab, big, conn8, interpret, first):
     Hp, Wp = lab.shape
     grid = (Hp // BH, Wp // BW)
     spec = pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    spec_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         _make_kernel(big, conn8, interpret),
         grid=grid,
-        in_specs=[spec],
+        in_specs=[spec_scalar, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((Wp // BW, 8, BW), jnp.int32),
             pltpu.VMEM((BH, 128), jnp.int32),
         ],
-        input_output_aliases={0: 0},
+        input_output_aliases={1: 0},
         interpret=interpret,
-    )(lab)
+    )(jnp.asarray(first, jnp.int32).reshape(1, 1), lab)
 
 
 @partial(jax.jit, static_argnames=("connectivity", "interpret"))
@@ -196,16 +209,17 @@ def label_components_pallas(
     bigp = (H + ph) * (W + pw)
     lab = jnp.where(fg, iota, bigp)
 
-    def round_(lab):
-        lab = _raster_pass(lab, bigp, conn8, interpret)
+    def round_(lab, it):
+        lab = _raster_pass(lab, bigp, conn8, interpret, (it == 0).astype(jnp.int32))
         lab = jnp.flip(
-            _raster_pass(jnp.flip(lab, (0, 1)), bigp, conn8, interpret), (0, 1)
+            _raster_pass(jnp.flip(lab, (0, 1)), bigp, conn8, interpret, 0),
+            (0, 1),
         )
         return lab
 
     def body(state):
         lab, _, it = state
-        new = round_(lab)
+        new = round_(lab, it)
         return new, jnp.any(new != lab), it + 1
 
     def cond(state):

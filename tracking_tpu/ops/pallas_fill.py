@@ -113,7 +113,7 @@ def _local_converge(r, bg, interp):
 
 
 def _make_kernel(interp):
-    def _kernel(bg_ref, reach_in, reach_out, bot_row, right_col):
+    def _kernel(first_ref, bg_ref, reach_in, reach_out, bot_row, right_col):
         # Mosaic restrictions shape this kernel: no scatter (.at[].set), no
         # lax.rev, no dynamic slicing of the lane (minor) dim. Scratch layouts:
         # bot_row [nw, 8, BW] (dynamic index only on the leading dim, like the
@@ -138,7 +138,13 @@ def _make_kernel(interp):
         r = r | (row0 & top[None, :] & bg)
         r = r | (col0 & left[:, None] & bg)
 
-        ri = _local_converge(r, bg, interp)
+        # Injection-skip (exact): except on the very first pass, every tile
+        # enters already locally converged, so if the boundary seed added no
+        # pixel the sweep would be the identity — skip it (see pallas_cc).
+        changed = (first_ref[0, 0] != 0) | jnp.any(r != reach_in[...])
+        ri = jax.lax.cond(
+            changed, lambda a: _local_converge(a, bg, interp), lambda a: a, r
+        )
 
         reach_out[...] = ri
         bot_row[j] = jnp.broadcast_to(ri[BH - 1 :, :], (8, BW))
@@ -151,23 +157,24 @@ def _make_kernel(interp):
     return _kernel
 
 
-def _raster_pass(bg_i32, reach_i32, interpret):
+def _raster_pass(bg_i32, reach_i32, interpret, first):
     Hp, Wp = bg_i32.shape
     grid = (Hp // BH, Wp // BW)
     spec = pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    spec_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         _make_kernel(interpret),
         grid=grid,
-        in_specs=[spec, spec],
+        in_specs=[spec_scalar, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((Wp // BW, 8, BW), jnp.int32),
             pltpu.VMEM((BH, 128), jnp.int32),
         ],
-        input_output_aliases={1: 0},
+        input_output_aliases={2: 0},
         interpret=interpret,
-    )(bg_i32, reach_i32)
+    )(jnp.asarray(first, jnp.int32).reshape(1, 1), bg_i32, reach_i32)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -185,14 +192,19 @@ def flood_reach_pallas(bg, reach0, interpret: bool = False):
     bg_p = jnp.pad(bg, ((0, ph), (0, pw))).astype(jnp.int32)
     r_p = jnp.pad(reach0, ((0, ph), (0, pw))).astype(jnp.int32)
 
-    def round_(r):
-        r = _raster_pass(bg_p, r, interpret)
-        r = jnp.flip(_raster_pass(jnp.flip(bg_p, (0, 1)), jnp.flip(r, (0, 1)), interpret), (0, 1))
+    def round_(r, it):
+        r = _raster_pass(bg_p, r, interpret, (it == 0).astype(jnp.int32))
+        r = jnp.flip(
+            _raster_pass(
+                jnp.flip(bg_p, (0, 1)), jnp.flip(r, (0, 1)), interpret, 0
+            ),
+            (0, 1),
+        )
         return r
 
     def body(state):
         r, _, it = state
-        r2 = round_(r)
+        r2 = round_(r, it)
         return r2, jnp.any(r2 != r), it + 1
 
     def cond(state):
