@@ -153,7 +153,9 @@ def _make_kernel(big, conn8, interp):
         # last visited and nothing else wrote it since), so if the boundary
         # injection lowered no pixel the sweep would be the identity — skip
         # it. Turns the fixed-point-confirm round into injection-only work.
-        changed = (first != 0) | jnp.any(lab != lab_in[...])
+        # On the first pass only non-empty tiles need converging (an all-bg
+        # tile is all `big` = already at its fixed point).
+        changed = ((first != 0) & jnp.any(m == 0)) | jnp.any(lab != lab_in[...])
         lab = jax.lax.cond(
             changed,
             lambda l: _local_converge(l, m, big, conn8, interp),

@@ -141,7 +141,11 @@ def _make_kernel(interp):
         # Injection-skip (exact): except on the very first pass, every tile
         # enters already locally converged, so if the boundary seed added no
         # pixel the sweep would be the identity — skip it (see pallas_cc).
-        changed = (first_ref[0, 0] != 0) | jnp.any(r != reach_in[...])
+        # On the first pass a tile with no reached pixel (the seed wave has
+        # not arrived) is also stable — sweeps only grow from seeds.
+        changed = ((first_ref[0, 0] != 0) & jnp.any(r != 0)) | jnp.any(
+            r != reach_in[...]
+        )
         ri = jax.lax.cond(
             changed, lambda a: _local_converge(a, bg, interp), lambda a: a, r
         )
