@@ -34,7 +34,12 @@ def main():
 
     algo = _flagship()
     h, w, c = 720, 1280, 3
-    t_chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+    # 64-frame chunks (~2 s of 30 fps source): the per-dispatch host fetch
+    # (~27 ms round-trip on the tunneled platform) amortizes to 0.4 ms/frame;
+    # at 16 it was a 1.7 ms/frame floor that dominated every stage timing.
+    # Real deployments double-buffer chunks, so throughput is the honest
+    # metric at any chunk size.
+    t_chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     streams = int(os.environ.get("BENCH_STREAMS", "1"))
 
     # Real content (the reference's own fixture, upscaled to 720p) — random
