@@ -129,20 +129,27 @@ class BlobTracker:
         cost = jnp.where(active[:, None] & blob_ok[None, :], cost, BIG)
         cost = jnp.where(cost <= cfg.gateDistance, cost, BIG)
 
-        def body(i, carry):
-            cost, assign, taken = carry
+        # early-exit greedy: stop as soon as the global min is gated (every
+        # later iteration would be a no-op) — typical frames assign ~5
+        # pairs, not min(K, B) = 64
+        def cond(carry):
+            i, ok, _, _, _ = carry
+            return (i < min(K, B)) & ok
+
+        def body(carry):
+            i, _, cost, assign, taken = carry
             flat = jnp.argmin(cost)
             k, b = flat // B, flat % B
             ok = cost[k, b] < BIG
             assign = assign.at[k].set(jnp.where(ok, b, assign[k]))
             taken = taken.at[b].set(jnp.where(ok, True, taken[b]))
             cost = jnp.where(ok, cost.at[k, :].set(BIG).at[:, b].set(BIG), cost)
-            return cost, assign, taken
+            return i + 1, ok, cost, assign, taken
 
         assign0 = jnp.full(K, -1, jnp.int32)
         taken0 = jnp.zeros(B, bool)
-        _, assign, taken = jax.lax.fori_loop(
-            0, min(K, B), body, (cost, assign0, taken0)
+        _, _, _, assign, taken = jax.lax.while_loop(
+            cond, body, (0, jnp.bool_(True), cost, assign0, taken0)
         )
         return assign, taken
 
