@@ -98,11 +98,47 @@ def _first_true_k(mask: jnp.ndarray):
     return jnp.any(mask, axis=0), jnp.argmax(mask, axis=0)
 
 
-def _compact_k(order_key, arrays):
-    """Stable compaction along axis 0 by boolean keep-key (True entries
-    first, original order). order_key: [K, ...] priority ints."""
-    order = jnp.argsort(order_key, axis=0, stable=True)
-    return [jnp.take_along_axis(a, order.reshape(order.shape + (1,) * (a.ndim - order.ndim)) if a.ndim > order.ndim else order, axis=0) for a in arrays]
+def _compact_keep(keep, arrays):
+    """Gather-free stable compaction along axis 0: kept entries first, in
+    original order. keep: [K, ...] bool. Tail slots (≥ kept count) keep
+    their OLD values — the argsort formulation placed the removed entries
+    there instead, but those slots are inactive (n is cut to the kept
+    count) and never read, so the two are observationally identical.
+
+    Replaces argsort + take_along_axis, whose per-pixel axis-0 gathers cost
+    ~ms each at the working resolution and made MultiCue 6 fps (same root
+    cause as the pre-rewrite GMM family; see PERF.md). A kept source j can
+    only move down (target cumsum(keep)−1 ≤ j), so target m selects among
+    sources j ≥ m — K(K+1)/2 masked selects, static unroll."""
+    K = keep.shape[0]
+    kc = jnp.cumsum(keep, axis=0) - 1
+    outs = []
+    for a in arrays:
+        extra = a.ndim - keep.ndim
+
+        def exp(x):
+            return x.reshape(x.shape + (1,) * extra)
+
+        rows = []
+        for m in range(K):
+            v = a[m]
+            for j in range(m + 1, K):
+                v = jnp.where(exp(keep[j] & (kc[j] == m)), a[j], v)
+            rows.append(v)
+        outs.append(jnp.stack(rows))
+    return outs
+
+
+def _select_k(idx, a):
+    """a[idx] along axis 0 per pixel — select chain, no gather. idx: [...]
+    int map; a: [K, ...]."""
+    K = a.shape[0]
+    extra = a.ndim - 1 - idx.ndim
+    out = a[0]
+    for j in range(1, K):
+        cond = (idx == j).reshape(idx.shape + (1,) * extra)
+        out = jnp.where(cond, a[j], out)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,16 +214,12 @@ class MultiCue(BGSAlgorithm):
         kcnt = jnp.sum(keep, axis=0)
         degenerate = (kcnt == 0) | (kcnt == book["n"])
 
-        # compacted ordering: keepers first (stable)
-        key = jnp.where(keep, jnp.cumsum(keep, axis=0) - 1, K + ks)
-        order = jnp.argsort(key, axis=0, stable=True)
-
         out = dict(book)
         compact_cond = fire & ~degenerate  # shape of n
-        for name in ("first", "last", "mnrl") + tuple(payload_keys):
+        names = ("first", "last", "mnrl") + tuple(payload_keys)
+        compacted_all = _compact_keep(keep, [book[n_] for n_ in names])
+        for name, compacted in zip(names, compacted_all):
             a = book[name]
-            o = order.reshape(order.shape + (1,) * (a.ndim - order.ndim))
-            compacted = jnp.take_along_axis(a, o, axis=0)
             cc = compact_cond.reshape(
                 (1,) + compact_cond.shape + (1,) * (a.ndim - 1 - compact_cond.ndim)
             )
@@ -341,16 +373,11 @@ class MultiCue(BGSAlgorithm):
         fire = do & ~young
         keep = (book["mnrl"] < stale) & active
         kcnt = jnp.sum(keep, axis=0)
-        key = jnp.where(keep, jnp.cumsum(keep, axis=0) - 1, K + ks)
-        order = jnp.argsort(key, axis=0, stable=True)
-        for name in ("first", "last", "mnrl") + tuple(payload_keys):
+        names = ("first", "last", "mnrl") + tuple(payload_keys)
+        compacted_all = _compact_keep(keep, [out[n_] for n_ in names])
+        for name, compacted in zip(names, compacted_all):
             a = out[name]
-            o = order.reshape(order.shape + (1,) * (a.ndim - order.ndim))
-            compacted = jnp.take_along_axis(a, o, axis=0)
             out[name] = jnp.where(
-                (fire[None] if a.ndim == active.ndim else fire[None, ..., None]),
-                compacted, a,
-            ) if False else jnp.where(
                 fire.reshape((1,) + fire.shape + (1,) * (a.ndim - 1 - fire.ndim)),
                 compacted, a,
             )
@@ -383,11 +410,7 @@ class MultiCue(BGSAlgorithm):
         out_m["last"] = jnp.where(at, total2[None], model["last"])
         out_m["mnrl"] = jnp.where(at, total2[None] - 1, model["mnrl"])
         for name in payload_keys:
-            cval = jnp.take_along_axis(
-                cache[name],
-                refc.reshape((1,) + refc.shape + (1,) * (cache[name].ndim - 1 - refc.ndim)),
-                axis=0,
-            )
+            cval = _select_k(refc, cache[name])[None]
             out_m[name] = jnp.where(
                 at.reshape(at.shape + (1,) * (model[name].ndim - at.ndim)),
                 cval,
@@ -397,13 +420,11 @@ class MultiCue(BGSAlgorithm):
         # remove ref from cache: compact out that index
         remove = (ks_c == refc) & fire[None]
         keep = ~remove & (ks_c < cache["n"])
-        key = jnp.where(keep, jnp.cumsum(keep, axis=0) - 1, Kc + ks_c)
-        order = jnp.argsort(key, axis=0, stable=True)
         out_c = dict(cache)
-        for name in ("first", "last", "mnrl") + tuple(payload_keys):
+        names = ("first", "last", "mnrl") + tuple(payload_keys)
+        compacted_all = _compact_keep(keep, [cache[n_] for n_ in names])
+        for name, compacted in zip(names, compacted_all):
             a = cache[name]
-            o = order.reshape(order.shape + (1,) * (a.ndim - order.ndim))
-            compacted = jnp.take_along_axis(a, o, axis=0)
             out_c[name] = jnp.where(
                 fire.reshape((1,) + fire.shape + (1,) * (a.ndim - 1 - fire.ndim)),
                 compacted, a,

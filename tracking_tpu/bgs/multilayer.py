@@ -57,6 +57,7 @@ import numpy as np
 
 from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
 from tracking_tpu.core.config import BGSConfig
+from tracking_tpu.bgs.gmm import _sort_desc_maps
 from tracking_tpu.core.registry import register
 from tracking_tpu.ops.color import bgr2gray_u8
 from tracking_tpu.ops.filters import gaussian_blur
@@ -130,255 +131,40 @@ class MultiLayerBGS(BGSAlgorithm):
             "last_time": jnp.full((M, h, w), -1, jnp.int32),
             "freq": jnp.full((M, h, w), -1, jnp.int32),
         }
-
-    # -- per-pixel update over the [M] mode axis -----------------------------
-    def _pixel(self, cur_int, cur_pat, n, bg_num, w, mw, bi, mini, maxi, bp,
-               layer, ltime, ftime, ltime2, freq, frame_idx):
-        cfg = self.config
-        M = cfg.max_mode_num
-        C = cur_int.shape[0]
-        lr = cfg.mode_learn_rate_per_second * cfg.frame_duration
-        wlr = cfg.weight_learn_rate_per_second * cfg.frame_duration
-        wuc = cfg.weight_updating_constant
-        slots = jnp.arange(M)
-
-        def pack():
-            return (w, mw, bi, mini, maxi, bp, layer, ltime, ftime, ltime2, freq)
-
-        # ---- RemoveBackgroundLayers, single-removal variant -----------------
-        def remove_modes(arrs, rem_mask, n):
-            """Compact out rem_mask modes, decrement higher layer numbers,
-            re-sort by weight, recompute bg_num, renumber layers 1..k."""
-            w, mw, bi, mini, maxi, bp, layer, ltime, ftime, lt2, fq = arrs
-            n_rem = jnp.sum(rem_mask & (slots < n))
-            keep = ~rem_mask & (slots < n)
-            # stable compaction: target position = #kept before me
-            pos = jnp.cumsum(keep) - 1
-            order = jnp.argsort(jnp.where(keep, pos, M + slots), stable=True)
-
-            def g(a):
-                return a[order]
-
-            # layer decrement: for each removed layered mode, higher layers -1
-            removed_layers = jnp.where(rem_mask & (layer > 0), layer, 0)
-            dec = jnp.sum(
-                (layer[:, None] > removed_layers[None, :])
-                & (removed_layers[None, :] > 0),
-                axis=1,
-            )
-            layer = jnp.where(keep, jnp.maximum(layer - dec, 0), layer)
-            arrs = tuple(g(a) for a in (w, mw, bi, mini, maxi, bp, layer, ltime, ftime, lt2, fq))
-            n2 = n - n_rem
-            w2 = arrs[0]
-            # weight re-sort + bg_num (only when something was removed)
-            sort_key = jnp.where(slots < n2, -w2, jnp.inf)
-            order2 = jnp.argsort(sort_key, stable=True)
-            arrs = tuple(a[order2] for a in arrs)
-            w2 = arrs[0]
-            tot = jnp.sum(jnp.where(slots < n2, w2, 0.0))
-            cumw = jnp.cumsum(jnp.where(slots < n2, w2, 0.0))
-            over = cumw > cfg.bg_mode_percent * tot
-            bg2 = jnp.where(jnp.any(over), jnp.argmax(over) + 1, 0)
-            # renumber bg layers consecutively by ascending layer number
-            layer2 = arrs[6]
-            has_layer = (layer2 > 0) & (slots < n2)
-            lkey = jnp.where(has_layer, layer2, jnp.iinfo(jnp.int32).max)
-            rank = jnp.argsort(jnp.argsort(lkey, stable=True), stable=True)
-            layer2 = jnp.where(has_layer, rank + 1, layer2)
-            arrs = arrs[:6] + (layer2,) + arrs[7:]
-            changed = n_rem > 0
-            return arrs, jnp.where(changed, n2, n), jnp.where(changed, bg2, bg_num)
-
-        if not cfg.disableLearning:
-            rem = (layer > 0) & (w < cfg.min_bg_layer_weight) & (slots < n)
-            # reference removes only the FIRST such mode per call
-            first_rem = rem & (slots == jnp.argmax(rem))
-            (w, mw, bi, mini, maxi, bp, layer, ltime, ftime, ltime2, freq), n, bg_num = (
-                remove_modes(pack(), first_rem & jnp.any(rem), n)
-            )
-
-        active = slots < n
-
-        # ---- distances ------------------------------------------------------
-        tex_d = jnp.mean(
-            (jnp.abs(cur_pat[None] - bp) > (1.0 - cfg.min_lbp_binary_prob)).astype(
-                jnp.float32
-            ),
-            axis=1,
-        )
-        cf = cur_int.astype(jnp.float32)
-        lo = jnp.minimum(mini, bi * cfg.shadow_rate - 5.0)
-        hi = jnp.maximum(maxi, bi * cfg.highlight_rate + 5.0)
-        out_range = jnp.any((cf[None] > hi) | (cf[None] < lo), axis=1)
-        dot = jnp.sum(bi * cf[None], axis=1)
-        n1 = jnp.sum(bi * bi, axis=1)
-        n2c = jnp.sum(cf * cf)
-        sin2 = jnp.maximum(1.0 - dot * dot / jnp.maximum(n1 * n2c, 1e-20), 0.0)
-        org_angle = jnp.where(n1 * n2c == 0, 0.0, jnp.sqrt(sin2))
-        norm_bg = jnp.sqrt(n1)
-        offset = max(cfg.robust_LBP_constant, 5.0)
-        sin_noise = offset / jnp.maximum(norm_bg, 1e-20)
-        min_sine = np.sin(cfg.min_noised_angle)
-        noised = jnp.where(
-            norm_bg == 0,
-            PI,
-            jnp.where(
-                sin_noise < min_sine,
-                cfg.min_noised_angle,
-                jnp.where(sin_noise >= 1.0, PI, sin_noise),
-            ),
-        )
-        angle = jnp.maximum(org_angle - noised, 0.0)
-        col_d = jnp.where(out_range, 1.0, 1.0 - jnp.exp(-100.0 * angle * angle))
-        joint = cfg.texture_weight * tex_d + (1.0 - cfg.texture_weight) * col_d
-        joint = jnp.where(active, joint, jnp.inf)
-
-        best = jnp.argmin(joint)  # first minimum (strict < in the reference)
-        best_d = joint[best]
-        updating = best_d < cfg.bg_prob_updating_threshold
-        penal = (best >= bg_num) & (mw[best] < cfg.reliable_bg_mode_weight)
-        out_dist = jnp.where(
-            penal, jnp.maximum(best_d, cfg.bg_prob_threshold * 2.5), best_d
-        )
-
-        # ---- empty list: seed mode 0 ----------------------------------------
-        def seed(arrs):
-            # empty-list seed (CMultiLayerBGS.cpp:475-505): sets first/last
-            # time + freq; layer_time keeps its init value
-            w, mw, bi2, mini2, maxi2, bp2, layer2, layt, ft, lt, fq = arrs
-            at0 = slots == 0
-            w = jnp.where(at0, cfg.init_mode_weight, w)
-            mw = jnp.where(at0, cfg.init_mode_weight, mw)
-            bi2 = jnp.where(at0[:, None], cf[None], bi2)
-            mini2 = jnp.where(at0[:, None], cf[None], mini2)
-            maxi2 = jnp.where(at0[:, None], cf[None], maxi2)
-            bp2 = jnp.where(at0[:, None], cur_pat[None], bp2)
-            layer2 = jnp.where(at0, 0, layer2)
-            ft = jnp.where(at0, frame_idx, ft)
-            lt = jnp.where(at0, frame_idx, lt)
-            fq = jnp.where(at0, 1, fq)
-            return (w, mw, bi2, mini2, maxi2, bp2, layer2, layt, ft, lt, fq)
-
-        # ---- no match: decay all, add/replace --------------------------------
-        def no_match(arrs):
-            w, mw, bi2, mini2, maxi2, bp2, layer2, layt, ft, lt, fq = arrs
-            decay = 1.0 - wlr / (1.0 + wuc * mw)
-            w = jnp.where(active, w * decay, w)
-            slot = jnp.minimum(n, M - 1)  # append, or overwrite tail when full
-            at = slots == slot
-            w = jnp.where(at, cfg.init_mode_weight, w)
-            mw = jnp.where(at, cfg.init_mode_weight, mw)
-            bi2 = jnp.where(at[:, None], cf[None], bi2)
-            mini2 = jnp.where(at[:, None], cf[None], mini2)
-            maxi2 = jnp.where(at[:, None], cf[None], maxi2)
-            bp2 = jnp.where(at[:, None], cur_pat[None], bp2)
-            layer2 = jnp.where(at, 0, layer2)
-            layt = jnp.where(at, -1, layt)
-            ft = jnp.where(at, frame_idx, ft)
-            lt = jnp.where(at, frame_idx, lt)
-            fq = jnp.where(at, 1, fq)
-            return (w, mw, bi2, mini2, maxi2, bp2, layer2, layt, ft, lt, fq)
-
-        # ---- match: update best, layer logic, decay others --------------------
-        def match(arrs):
-            w, mw, bi2, mini2, maxi2, bp2, layer2, layt, ft, lt, fq = arrs
-            at = slots == best
-            ft = jnp.where(at, jnp.maximum(jnp.minimum(ft, frame_idx), 0), ft)
-            lt = jnp.where(at, frame_idx, lt)
-            fq = jnp.where(at, fq + 1, fq)
-            bi2 = jnp.where(at[:, None], (1 - lr) * bi2 + lr * cf[None], bi2)
-            mini2 = jnp.where(at[:, None], jnp.minimum(mini2, cf[None]), mini2)
-            maxi2 = jnp.where(at[:, None], jnp.maximum(maxi2, cf[None]), maxi2)
-            bp2 = jnp.where(at[:, None], (1 - lr) * bp2 + lr * cur_pat[None], bp2)
-            inc = wlr * (1.0 + wuc * mw)
-            w = jnp.where(at, (1.0 - inc) * w + inc, w)
-            mw = jnp.where(at, jnp.maximum(w, mw), mw)
-
-            # layer bookkeeping (CMultiLayerBGS.cpp:687-723)
-            b_layer = layer2[best]
-            b_w, b_mw = w[best], mw[best]
-            displaced = (
-                (b_layer > 0)
-                & (b_w > b_mw * 0.2)
-                & (layer2 > b_layer)
-                & (w < mw * 0.9)
-                & active
-            )
-            promote = (b_layer == 0) & (b_mw > cfg.reliable_bg_mode_weight)
-            max_layer = jnp.max(jnp.where(active, layer2, 0))
-            layer2 = jnp.where(at & promote, max_layer + 1, layer2)
-            layt = jnp.where(at & promote, frame_idx, layt)
-
-            decay = 1.0 - wlr / (1.0 + wuc * mw)
-            w = jnp.where(active & ~at, w * decay, w)
-            return (w, mw, bi2, mini2, maxi2, bp2, layer2, layt, ft, lt, fq), displaced
-
-        is_empty = n == 0
-        do_match = (~is_empty) & updating & (not cfg.disableLearning)
-        do_nomatch = (~is_empty) & (~updating) & (not cfg.disableLearning)
-
-        arrs = pack()
-        m_arrs, displaced = match(arrs)
-        nm_arrs = no_match(arrs)
-        s_arrs = seed(arrs)
-        sel3 = lambda m, nm, s, base: jnp.where(
-            do_match, m, jnp.where(do_nomatch, nm, jnp.where(is_empty, s, base))
-        )
-        arrs = tuple(
-            sel3(m, nm, s, b) for m, nm, s, b in zip(m_arrs, nm_arrs, s_arrs, arrs)
-        )
-        n = jnp.where(
-            is_empty, 1, jnp.where(do_nomatch, jnp.minimum(n + 1, M), n)
-        )
-        bg_num = jnp.where(is_empty, 1, bg_num)
-
-        # displaced-layer removal (match path)
-        (w, mw, bi, mini, maxi, bp, layer, ltime, ftime, ltime2, freq) = arrs
-        if not cfg.disableLearning:
-            rem_mask = displaced & do_match
-            (w, mw, bi, mini, maxi, bp, layer, ltime, ftime, ltime2, freq), n, bg_num = remove_modes(
-                (w, mw, bi, mini, maxi, bp, layer, ltime, ftime, ltime2, freq),
-                rem_mask, n,
-            )
-
-            # final weight sort + bg_num (BackgroundSubtractionProcess:727-748)
-            resort = (n > 1) & ~is_empty
-            sort_key = jnp.where(slots < n, -w, jnp.inf)
-            order = jnp.argsort(sort_key, stable=True)
-            arrs2 = tuple(
-                a[order]
-                for a in (w, mw, bi, mini, maxi, bp, layer, ltime, ftime, ltime2, freq)
-            )
-            w2 = arrs2[0]
-            tot = jnp.sum(jnp.where(slots < n, w2, 0.0))
-            cumw = jnp.cumsum(jnp.where(slots < n, w2, 0.0))
-            over = cumw > cfg.bg_mode_percent * tot
-            bg2 = jnp.where(jnp.any(over), jnp.argmax(over) + 1, bg_num)
-            pick = lambda a2, a: jnp.where(resort, a2, a)
-            (w, mw, bi, mini, maxi, bp, layer, ltime, ftime, ltime2, freq) = tuple(
-                pick(a2, a)
-                for a2, a in zip(
-                    arrs2,
-                    (w, mw, bi, mini, maxi, bp, layer, ltime, ftime, ltime2, freq),
-                )
-            )
-            bg_num = jnp.where(resort, bg2, bg_num)
-
-        out_dist = jnp.where(is_empty, 0.0, out_dist)
-        return (
-            n, bg_num, w, mw, bi, mini, maxi, bp, layer, ltime, ftime, ltime2,
-            freq, out_dist,
-        )
+    # -- mode-major frame update (no per-pixel vmap) -------------------------
+    # The original formulation vmapped a per-pixel function over H×W with
+    # per-pixel argsorts over the M=5 mode axis — million-pixel gathers that
+    # crash the TPU worker (same failure mode as the pre-rewrite GMM family;
+    # see PERF.md). This version works on whole [H, W] maps with the mode
+    # axis as Python lists (static M unroll): best-mode reads are select
+    # chains, compactions are O(M²) masked selects, and the weight sort is
+    # the gmm.py odd-even transposition network. Observational equivalences
+    # used (validated by the sequential-oracle tests):
+    # - mode lists are weight-sorted at frame entry (the previous frame
+    #   sorted them), so the re-sort after the single-mode removal is the
+    #   identity and is skipped;
+    # - background-layer numbers stay consecutive 1..k (promotion appends
+    #   max+1; simultaneous removal decrements each survivor by the number
+    #   of removed layers below it), so rank-renumbering is the identity;
+    # - the final weight sort runs unconditionally (when learning): whenever
+    #   the reference skips it (n ≤ 1) sorting is the identity anyway, and
+    #   the strict-compare network preserves tie order (stability).
 
     def step(self, state: State, frame: jnp.ndarray) -> StepResult:
         cfg = self.config
+        M = cfg.max_mode_num
         f3 = frame if frame.ndim == 3 else jnp.repeat(frame[..., None], 3, -1)
         h, w_ = f3.shape[:2]
+        C = f3.shape[2]
         t = state["t"]
         frame_idx = t + 1  # SetNewImage pre-increments m_nCurImgFrameIdx
+        lr = cfg.mode_learn_rate_per_second * cfg.frame_duration
+        wlr = cfg.weight_learn_rate_per_second * cfg.frame_duration
+        wuc = cfg.weight_updating_constant
+        learn = not cfg.disableLearning
 
         gray = bgr2gray_u8(f3).astype(jnp.float32)
-        pattern = jnp.stack(
+        cur_pat = jnp.stack(
             [
                 (gray - _shift_zero(gray, dx, dy) + cfg.robust_LBP_constant > 0).astype(
                     jnp.float32
@@ -387,44 +173,304 @@ class MultiLayerBGS(BGSAlgorithm):
             ],
             axis=0,
         )  # [L, H, W]
-
+        cf = jnp.moveaxis(f3, -1, 0).astype(jnp.float32)  # [C, H, W]
         first_frame = state["n"][0, 0] == 0  # bFirstFrame (PLBP[0].num == 0)
 
-        # arrays are [M(, C), H, W]; transpose to [H, W, ...] so two nested
-        # vmaps over the leading axes hand the per-pixel fn [M]-shaped views.
-        cur_int = jnp.moveaxis(f3, -1, 0)  # [C, H, W]
+        n = state["n"]
+        bg_num = state["bg_num"]
+        # mode axis as Python lists ("w" [H,W] f32, vec entries [C,H,W]/[L,H,W])
+        A = {
+            "w": [state["weight"][m] for m in range(M)],
+            "mw": [state["max_weight"][m] for m in range(M)],
+            "bi": [state["bg_int"][m] for m in range(M)],
+            "mini": [state["min_int"][m] for m in range(M)],
+            "maxi": [state["max_int"][m] for m in range(M)],
+            "bp": [state["bg_pattern"][m] for m in range(M)],
+            "layer": [state["bg_layer"][m] for m in range(M)],
+            "layt": [state["layer_time"][m] for m in range(M)],
+            "ft": [state["first_time"][m] for m in range(M)],
+            "lt": [state["last_time"][m] for m in range(M)],
+            "fq": [state["freq"][m] for m in range(M)],
+        }
+        VEC = ("bi", "mini", "maxi", "bp")  # have a leading feature axis
 
-        def arr(x):
-            return jnp.moveaxis(x, (-2, -1), (0, 1))
+        def bc(cond, name):
+            return cond[None] if name in VEC else cond
 
-        res = jax.vmap(jax.vmap(self._pixel, in_axes=(0,) * 15 + (None,)),
-                       in_axes=(0,) * 15 + (None,))(
-            jnp.transpose(cur_int, (1, 2, 0)),
-            jnp.transpose(pattern, (1, 2, 0)),
-            state["n"], state["bg_num"],
-            arr(state["weight"]), arr(state["max_weight"]),
-            arr(state["bg_int"]), arr(state["min_int"]),
-            arr(state["max_int"]), arr(state["bg_pattern"]),
-            arr(state["bg_layer"]), arr(state["layer_time"]),
-            arr(state["first_time"]), arr(state["last_time"]),
-            arr(state["freq"]), frame_idx,
+        def sel(idx, maps):
+            """maps[idx[p]] per pixel — M-way select chain, no gather."""
+            out = maps[0]
+            for m in range(1, M):
+                out = jnp.where(idx == m, maps[m], out)
+            return out
+
+        def bg_num_of(ws, n_act):
+            """Smallest prefix of the (sorted) active weights holding
+            > bg_mode_percent of the total (CMultiLayerBGS.cpp:727-748)."""
+            aw = [jnp.where(n_act > m, ws[m], 0.0) for m in range(M)]
+            tot = sum(aw)
+            cum = jnp.zeros_like(tot)
+            bg2 = jnp.zeros(tot.shape, jnp.int32)
+            found = jnp.zeros(tot.shape, bool)
+            for m in range(M):
+                cum = cum + aw[m]
+                over = cum > cfg.bg_mode_percent * tot
+                bg2 = jnp.where(~found & over, m + 1, bg2)
+                found = found | over
+            return bg2
+
+        # ---- RemoveBackgroundLayers, single-removal variant (per frame) ----
+        changed1 = jnp.zeros((h, w_), bool)
+        if learn:
+            rem = [
+                (A["layer"][m] > 0)
+                & (A["w"][m] < cfg.min_bg_layer_weight)
+                & (n > m)
+                for m in range(M)
+            ]
+            r = jnp.full((h, w_), M, jnp.int32)
+            for m in reversed(range(M)):
+                r = jnp.where(rem[m], m, r)
+            changed1 = r < M
+            rl = sel(jnp.minimum(r, M - 1), A["layer"])  # layer of the removed
+            # compact: shift slots ≥ r down by one (sorted order is preserved
+            # — single removal from a sorted list — so no re-sort here)
+            for k in A:
+                old = A[k]
+                A[k] = [
+                    jnp.where(
+                        bc(changed1 & (r <= m), k), old[min(m + 1, M - 1)], old[m]
+                    )
+                    if m < M - 1
+                    else old[m]
+                    for m in range(M)
+                ]
+            dec_on = changed1 & (rl > 0)
+            A["layer"] = [
+                jnp.where(dec_on & (A["layer"][m] > rl), A["layer"][m] - 1, A["layer"][m])
+                for m in range(M)
+            ]
+            n = n - changed1.astype(jnp.int32)
+            bg_num = jnp.where(changed1, bg_num_of(A["w"], n), bg_num)
+
+        active = [n > m for m in range(M)]
+        is_empty = n == 0
+
+        # ---- distances ------------------------------------------------------
+        lbp_thr = 1.0 - cfg.min_lbp_binary_prob
+        offset = max(cfg.robust_LBP_constant, 5.0)
+        min_sine = np.sin(cfg.min_noised_angle)
+        n2c = jnp.sum(cf * cf, axis=0)
+        INF = jnp.float32(np.inf)
+        best_d = jnp.full((h, w_), INF)
+        best = jnp.zeros((h, w_), jnp.int32)
+        for m in range(M):
+            tex_d = jnp.mean(
+                (jnp.abs(cur_pat - A["bp"][m]) > lbp_thr).astype(jnp.float32), axis=0
+            )
+            bi = A["bi"][m]
+            lo = jnp.minimum(A["mini"][m], bi * cfg.shadow_rate - 5.0)
+            hi = jnp.maximum(A["maxi"][m], bi * cfg.highlight_rate + 5.0)
+            out_range = jnp.any((cf > hi) | (cf < lo), axis=0)
+            dot = jnp.sum(bi * cf, axis=0)
+            n1 = jnp.sum(bi * bi, axis=0)
+            sin2 = jnp.maximum(1.0 - dot * dot / jnp.maximum(n1 * n2c, 1e-20), 0.0)
+            org_angle = jnp.where(n1 * n2c == 0, 0.0, jnp.sqrt(sin2))
+            norm_bg = jnp.sqrt(n1)
+            sin_noise = offset / jnp.maximum(norm_bg, 1e-20)
+            noised = jnp.where(
+                norm_bg == 0,
+                PI,
+                jnp.where(
+                    sin_noise < min_sine,
+                    cfg.min_noised_angle,
+                    jnp.where(sin_noise >= 1.0, PI, sin_noise),
+                ),
+            )
+            angle = jnp.maximum(org_angle - noised, 0.0)
+            col_d = jnp.where(out_range, 1.0, 1.0 - jnp.exp(-100.0 * angle * angle))
+            joint = cfg.texture_weight * tex_d + (1.0 - cfg.texture_weight) * col_d
+            joint = jnp.where(active[m], joint, INF)
+            better = joint < best_d  # strict < = first minimum, as reference
+            best = jnp.where(better, m, best)
+            best_d = jnp.minimum(best_d, joint)
+
+        updating = best_d < cfg.bg_prob_updating_threshold
+        penal = (best >= bg_num) & (sel(best, A["mw"]) < cfg.reliable_bg_mode_weight)
+        out_dist = jnp.where(
+            penal, jnp.maximum(best_d, cfg.bg_prob_threshold * 2.5), best_d
         )
-        (n, bg_num, w, mw, bi, mini, maxi, bp, layer, ltime, ftime, ltime2,
-         freq, dist) = res
 
-        back = lambda x: jnp.moveaxis(x, (0, 1), (-2, -1))
+        do_match = (~is_empty) & updating & learn
+        do_nomatch = (~is_empty) & (~updating) & learn
+
+        # ---- the three per-pixel branches, blended per mode ------------------
+        # seed (empty list, CMultiLayerBGS.cpp:475-505)
+        S = {k: list(v) for k, v in A.items()}
+        at0 = [m == 0 for m in range(M)]
+        for m in range(M):
+            if m == 0:
+                S["w"][m] = jnp.full((h, w_), cfg.init_mode_weight)
+                S["mw"][m] = jnp.full((h, w_), cfg.init_mode_weight)
+                S["bi"][m] = cf
+                S["mini"][m] = cf
+                S["maxi"][m] = cf
+                S["bp"][m] = cur_pat
+                S["layer"][m] = jnp.zeros((h, w_), jnp.int32)
+                S["ft"][m] = jnp.full((h, w_), frame_idx, jnp.int32)
+                S["lt"][m] = jnp.full((h, w_), frame_idx, jnp.int32)
+                S["fq"][m] = jnp.ones((h, w_), jnp.int32)
+
+        # no match: decay all active, append (or overwrite the tail when full)
+        NM = {k: list(v) for k, v in A.items()}
+        slot_app = jnp.minimum(n, M - 1)
+        for m in range(M):
+            decay = 1.0 - wlr / (1.0 + wuc * NM["mw"][m])
+            wdec = jnp.where(active[m], NM["w"][m] * decay, NM["w"][m])
+            at = slot_app == m
+            NM["w"][m] = jnp.where(at, cfg.init_mode_weight, wdec)
+            NM["mw"][m] = jnp.where(at, cfg.init_mode_weight, NM["mw"][m])
+            NM["bi"][m] = jnp.where(at[None], cf, NM["bi"][m])
+            NM["mini"][m] = jnp.where(at[None], cf, NM["mini"][m])
+            NM["maxi"][m] = jnp.where(at[None], cf, NM["maxi"][m])
+            NM["bp"][m] = jnp.where(at[None], cur_pat, NM["bp"][m])
+            NM["layer"][m] = jnp.where(at, 0, NM["layer"][m])
+            NM["layt"][m] = jnp.where(at, -1, NM["layt"][m])
+            NM["ft"][m] = jnp.where(at, frame_idx, NM["ft"][m])
+            NM["lt"][m] = jnp.where(at, frame_idx, NM["lt"][m])
+            NM["fq"][m] = jnp.where(at, 1, NM["fq"][m])
+
+        # match: update best, layer bookkeeping, decay others (:687-723)
+        MT = {k: list(v) for k, v in A.items()}
+        for m in range(M):
+            at = best == m
+            MT["ft"][m] = jnp.where(
+                at, jnp.maximum(jnp.minimum(MT["ft"][m], frame_idx), 0), MT["ft"][m]
+            )
+            MT["lt"][m] = jnp.where(at, frame_idx, MT["lt"][m])
+            MT["fq"][m] = jnp.where(at, MT["fq"][m] + 1, MT["fq"][m])
+            MT["bi"][m] = jnp.where(at[None], (1 - lr) * MT["bi"][m] + lr * cf, MT["bi"][m])
+            MT["mini"][m] = jnp.where(at[None], jnp.minimum(MT["mini"][m], cf), MT["mini"][m])
+            MT["maxi"][m] = jnp.where(at[None], jnp.maximum(MT["maxi"][m], cf), MT["maxi"][m])
+            MT["bp"][m] = jnp.where(
+                at[None], (1 - lr) * MT["bp"][m] + lr * cur_pat, MT["bp"][m]
+            )
+            inc = wlr * (1.0 + wuc * MT["mw"][m])
+            MT["w"][m] = jnp.where(at, (1.0 - inc) * MT["w"][m] + inc, MT["w"][m])
+            MT["mw"][m] = jnp.where(at, jnp.maximum(MT["w"][m], MT["mw"][m]), MT["mw"][m])
+
+        b_layer = sel(best, MT["layer"])
+        b_w = sel(best, MT["w"])
+        b_mw = sel(best, MT["mw"])
+        displaced = [
+            (b_layer > 0)
+            & (b_w > b_mw * 0.2)
+            & (MT["layer"][m] > b_layer)
+            & (MT["w"][m] < MT["mw"][m] * 0.9)
+            & active[m]
+            for m in range(M)
+        ]
+        promote = (b_layer == 0) & (b_mw > cfg.reliable_bg_mode_weight)
+        max_layer = jnp.zeros((h, w_), jnp.int32)
+        for m in range(M):
+            max_layer = jnp.maximum(
+                max_layer, jnp.where(active[m], MT["layer"][m], 0)
+            )
+        for m in range(M):
+            at = best == m
+            MT["layer"][m] = jnp.where(at & promote, max_layer + 1, MT["layer"][m])
+            MT["layt"][m] = jnp.where(at & promote, frame_idx, MT["layt"][m])
+            decay = 1.0 - wlr / (1.0 + wuc * MT["mw"][m])
+            MT["w"][m] = jnp.where(
+                active[m] & ~at, MT["w"][m] * decay, MT["w"][m]
+            )
+
+        for k in A:
+            A[k] = [
+                jnp.where(
+                    bc(do_match, k),
+                    MT[k][m],
+                    jnp.where(
+                        bc(do_nomatch, k),
+                        NM[k][m],
+                        jnp.where(bc(is_empty, k), S[k][m], A[k][m]),
+                    ),
+                )
+                for m in range(M)
+            ]
+        n = jnp.where(is_empty, 1, jnp.where(do_nomatch, jnp.minimum(n + 1, M), n))
+        bg_num = jnp.where(is_empty, 1, bg_num)
+
+        # ---- displaced-layer removal (multi-mode, match path) ---------------
+        changed4 = jnp.zeros((h, w_), bool)
+        if learn:
+            rem4 = [displaced[m] & do_match for m in range(M)]
+            keep = [~rem4[m] & (n > m) for m in range(M)]
+            layer_old = list(A["layer"])
+            dec = [
+                sum(
+                    (
+                        rem4[k2]
+                        & (layer_old[k2] > 0)
+                        & (layer_old[m] > layer_old[k2])
+                    ).astype(jnp.int32)
+                    for k2 in range(M)
+                )
+                for m in range(M)
+            ]
+            A["layer"] = [layer_old[m] - dec[m] for m in range(M)]
+            # stable compaction: source j lands at target (#kept ≤ j) − 1
+            kc = []
+            run = jnp.zeros((h, w_), jnp.int32)
+            for m in range(M):
+                run = run + keep[m].astype(jnp.int32)
+                kc.append(run - 1)
+            for k in A:
+                old = A[k]
+                newl = []
+                for m in range(M):
+                    v = old[m]
+                    for j in range(M):
+                        v = jnp.where(bc(keep[j] & (kc[j] == m), k), old[j], v)
+                    newl.append(v)
+                A[k] = newl
+            n_rem = sum(rem4[m].astype(jnp.int32) for m in range(M))
+            changed4 = n_rem > 0
+            n = n - n_rem
+            # (layer numbers stay consecutive — see the invariant note above —
+            # so the reference's rank-renumbering is the identity and skipped)
+
+            # ---- final weight sort + bg_num (:727-748) ----------------------
+            # unconditional when learning: whenever the reference skips it
+            # (n ≤ 1) it is the identity; stability keeps tie order
+            key = [jnp.where(n > m, A["w"][m], -INF) for m in range(M)]
+            names = list(A.keys())
+            _, sorted_payloads = _sort_desc_maps(key, [A[k2] for k2 in names])
+            A = dict(zip(names, sorted_payloads))
+            gate = ((n > 1) & ~is_empty) | changed1 | changed4 | is_empty
+            bg_num = jnp.where(gate, bg_num_of(A["w"], n), bg_num)
+
+        out_dist = jnp.where(is_empty, 0.0, out_dist)
+
         new_state = {
             "t": frame_idx,
-            "n": n, "bg_num": bg_num,
-            "weight": back(w), "max_weight": back(mw),
-            "bg_int": back(bi), "min_int": back(mini), "max_int": back(maxi),
-            "bg_pattern": back(bp), "bg_layer": back(layer),
-            "layer_time": back(ltime), "first_time": back(ftime),
-            "last_time": back(ltime2), "freq": back(freq),
+            "n": n,
+            "bg_num": bg_num,
+            "weight": jnp.stack(A["w"]),
+            "max_weight": jnp.stack(A["mw"]),
+            "bg_int": jnp.stack(A["bi"]),
+            "min_int": jnp.stack(A["mini"]),
+            "max_int": jnp.stack(A["maxi"]),
+            "bg_pattern": jnp.stack(A["bp"]),
+            "bg_layer": jnp.stack(A["layer"]),
+            "layer_time": jnp.stack(A["layt"]),
+            "first_time": jnp.stack(A["ft"]),
+            "last_time": jnp.stack(A["lt"]),
+            "freq": jnp.stack(A["fq"]),
         }
 
         ksize = 2 * cfg.pattern_neig_half_size + 1
-        dist_s = gaussian_blur(dist, ksize, cfg.pattern_neig_gaus_sigma)
+        dist_s = gaussian_blur(out_dist, ksize, cfg.pattern_neig_gaus_sigma)
         fg = jnp.where(
             dist_s > cfg.bg_prob_threshold, jnp.uint8(255), jnp.uint8(0)
         )

@@ -89,40 +89,63 @@ def color_convert_f32(bgr_f: jnp.ndarray, color_space: int) -> jnp.ndarray:
     raise ValueError(f"unknown color space {color_space}")
 
 
-def _sorted_with_indices(hi: jnp.ndarray):
-    """[..., 3] → (descending-sorted values, original indices), stable (the
-    reference's bubble sort swaps only on strict <, FuzzyUtils.cpp:431-457)."""
-    idx = jnp.argsort(-hi, axis=-1, stable=True)
-    return jnp.take_along_axis(hi, idx, axis=-1), idx
+def _integral_terms(hi: jnp.ndarray, g: tuple):
+    """Shared gather-free front half of both integrals.
+
+    Sorts the 3 criteria descending with a stable compare-exchange network
+    (strict-< swaps = the reference's bubble sort, FuzzyUtils.cpp:431-457)
+    carrying the original indices as payload, then resolves the two
+    index-dependent lookups as 3-way select chains. The previous
+    argsort + take_along_axis + fancy-index formulation cost three
+    per-pixel [H, W, 3] gathers ≈ 75 ms/frame at 720p on TPU (measured
+    11.7 fps for the whole algorithm).
+
+    Faithful quirk kept: ``Integral[k] = f(HI_sorted[Indice[k]], ·)``
+    indexes the *sorted* array by the original-position values (not
+    ``HI_sorted[k]``; FuzzyUtils.cpp:473-484)."""
+    v = [hi[..., 0], hi[..., 1], hi[..., 2]]
+    ix = [jnp.full(v[0].shape, k, jnp.int32) for k in range(3)]
+    for i, j in ((0, 1), (1, 2), (0, 1)):
+        swap = v[i] < v[j]
+        v[i], v[j] = jnp.where(swap, v[j], v[i]), jnp.where(swap, v[i], v[j])
+        ix[i], ix[j] = (
+            jnp.where(swap, ix[j], ix[i]),
+            jnp.where(swap, ix[i], ix[j]),
+        )
+
+    def sel_v(idx):  # HI_sorted[idx]
+        return jnp.where(idx == 0, v[0], jnp.where(idx == 1, v[1], v[2]))
+
+    def sel_g(idx):  # g[idx]
+        return jnp.where(
+            idx == 0,
+            jnp.float32(g[0]),
+            jnp.where(idx == 1, jnp.float32(g[1]), jnp.float32(g[2])),
+        )
+
+    hperm = [sel_v(ix[k]) for k in range(3)]
+    g_idx = [sel_g(ix[k]) for k in range(3)]
+    return hperm, g_idx
 
 
 def sugeno_integral(hi: jnp.ndarray, g: tuple) -> jnp.ndarray:
     """[..., 3] criteria → [...] Sugeno integral (FuzzyUtils.cpp:291-344).
 
-    Faithful quirks: ``Integral[k] = min(HI_sorted[Indice[k]], ·)`` indexes the
-    *sorted* array by the original-position values (not ``HI_sorted[k]``), and
-    the final ``max`` folds in an initial 0 (FuzzyUtils.cpp:473-484).
-    """
-    gv = jnp.asarray(g, jnp.float32)
-    hs, idx = _sorted_with_indices(hi)
-    hperm = jnp.take_along_axis(hs, idx, axis=-1)
-    g_idx = gv[idx]
-    xixj = g_idx[..., 1] + g_idx[..., 2]
-    i0 = jnp.minimum(hperm[..., 0], 1.0)
-    i1 = jnp.minimum(hperm[..., 1], xixj)
-    i2 = jnp.minimum(hperm[..., 2], g_idx[..., 2])
+    The final ``max`` folds in an initial 0 (FuzzyUtils.cpp:473-484)."""
+    hperm, g_idx = _integral_terms(hi, g)
+    xixj = g_idx[1] + g_idx[2]
+    i0 = jnp.minimum(hperm[0], 1.0)
+    i1 = jnp.minimum(hperm[1], xixj)
+    i2 = jnp.minimum(hperm[2], g_idx[2])
     return jnp.maximum(jnp.maximum(jnp.maximum(i0, i1), i2), 0.0)
 
 
 def choquet_integral(hi: jnp.ndarray, g: tuple) -> jnp.ndarray:
     """[..., 3] criteria → [...] Choquet integral (FuzzyUtils.cpp:346-411)."""
-    gv = jnp.asarray(g, jnp.float32)
-    hs, idx = _sorted_with_indices(hi)
-    hperm = jnp.take_along_axis(hs, idx, axis=-1)
-    g_idx = gv[idx]
-    xixj = g_idx[..., 1] + g_idx[..., 2]
+    hperm, g_idx = _integral_terms(hi, g)
+    xixj = g_idx[1] + g_idx[2]
     return (
-        hperm[..., 0] * (1.0 - xixj)
-        + hperm[..., 1] * (xixj - g_idx[..., 2])
-        + hperm[..., 2] * g_idx[..., 2]
+        hperm[0] * (1.0 - xixj)
+        + hperm[1] * (xixj - g_idx[2])
+        + hperm[2] * g_idx[2]
     )
