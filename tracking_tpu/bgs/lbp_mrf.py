@@ -182,13 +182,24 @@ class LbpMrf(BGSAlgorithm):
             best_oh[:, None], (1.0 - lr)[None, None] * h + lr[None, None] * hist_now[None], h
         )
         w_upd = lr[None] * best_oh.astype(jnp.float32) + (1.0 - lr)[None] * w
-        # background selection: top weights covering BG_THRES
-        order = jnp.argsort(-w_upd, axis=0, stable=True)
-        w_sorted = jnp.take_along_axis(w_upd, order, axis=0)
-        cum = jnp.cumsum(w_sorted, axis=0)
-        sel_sorted = (cum - w_sorted) <= BG_THRES  # include until sum exceeds
-        rank = jnp.argsort(order, axis=0, stable=True)
-        bgf_upd = jnp.take_along_axis(sel_sorted, rank, axis=0)
+        # background selection: top weights covering BG_THRES. Include model
+        # i iff the summed weight of models ranking strictly before it
+        # (greater weight; ties by original position) is ≤ BG_THRES — the
+        # sorted-prefix rule without the sort. The argsort +
+        # 2×take_along_axis formulation cost per-pixel gathers over the
+        # model grid (~50 ms/frame of the algorithm's 70 at 720p).
+        before = [jnp.zeros_like(w_upd[0]) for _ in range(NH)]
+        for i in range(NH):
+            for j in range(NH):
+                if i == j:
+                    continue
+                j_first = (
+                    (w_upd[j] > w_upd[i])
+                    if j > i
+                    else (w_upd[j] >= w_upd[i])
+                )
+                before[i] = before[i] + jnp.where(j_first, w_upd[j], 0.0)
+        bgf_upd = jnp.stack([before[i] <= BG_THRES for i in range(NH)])
 
         hist2 = jnp.where(replace[None, None], h_rep, h_upd)
         w2 = jnp.where(replace[None], w_rep, w_upd)

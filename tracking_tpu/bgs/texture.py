@@ -75,17 +75,20 @@ def _region_hist(code: jnp.ndarray) -> jnp.ndarray:
     121 — the non-separable reduce_window was the dominant cost of the whole
     algorithm at 720p (the window runs over 64 bins × 3 channels)."""
     k = 2 * REGION_R + 1
-    onehot = (code[None].astype(jnp.int32) == jnp.arange(NUM_BINS)[:, None, None]).astype(
-        jnp.int32
+    # u8 end-to-end: window counts max out at k² = 121, and the [64, H, W]
+    # intermediates dominate the whole algorithm's HBM traffic (i32 here
+    # measured ~4× slower end-to-end)
+    onehot = (code[None] == jnp.arange(NUM_BINS, dtype=jnp.uint8)[:, None, None]).astype(
+        jnp.uint8
     )
     padded = jnp.pad(onehot, ((0, 0), (REGION_R, REGION_R), (REGION_R, REGION_R)))
     rows = jax.lax.reduce_window(
-        padded, 0, jax.lax.add, (1, k, 1), (1, 1, 1), "VALID"
+        padded, jnp.uint8(0), jax.lax.add, (1, k, 1), (1, 1, 1), "VALID"
     )
     cnt = jax.lax.reduce_window(
-        rows, 0, jax.lax.add, (1, 1, k), (1, 1, 1), "VALID"
+        rows, jnp.uint8(0), jax.lax.add, (1, 1, k), (1, 1, 1), "VALID"
     )
-    return cnt.astype(jnp.uint8)
+    return cnt
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,9 +137,8 @@ class DPTextureBGS(BGSAlgorithm):
 
         model = state["model"]
 
-        prox = jnp.sum(
-            jnp.minimum(model.astype(jnp.int32), cur.astype(jnp.int32)), axis=(0, 1)
-        )
+        # u8 min with an i32 accumulator — no widened [3, 64, H, W] copies
+        prox = jnp.sum(jnp.minimum(model, cur), axis=(0, 1), dtype=jnp.int32)
         fg = jnp.where((prox < self.THRESHOLD) & valid, jnp.uint8(255), jnp.uint8(0))
 
         # transposed-mask update (see module docstring): pixel (y,x) updates
