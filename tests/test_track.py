@@ -166,3 +166,67 @@ def test_startstop_and_trackdist_analyses():
     d = td.abnormality(rec)
     assert d[0] < 5.0 and d[1] < 5.0  # mutual support
     assert d[2] > d[0]  # the divergent track is farther from any template
+
+
+def test_analysis_registry_variants():
+    from tracking_tpu.track.trajectory import (
+        IORAnalysis,
+        StartStopAnalysis,
+        TrackDistAnalysis,
+        TrackRecorder,
+        TrajectoryAnalysis,
+        make_analysis,
+    )
+
+    rec = TrackRecorder()
+    # two similar tracks + one outlier
+    for f in range(8):
+        rec.rows.append((f, 1, 10.0 + 4 * f, 20.0, 8.0, 8.0))
+        rec.rows.append((f, 2, 12.0 + 4 * f, 24.0, 8.0, 8.0))
+        rec.rows.append((f, 3, 60.0, 5.0 + 11 * f, 30.0, 30.0))
+
+    for name, cls in [
+        ("HistPVS", TrajectoryAnalysis),
+        ("HistP", TrajectoryAnalysis),
+        ("HistPV", TrajectoryAnalysis),
+        ("HistSS", StartStopAnalysis),
+        ("TrackDist", TrackDistAnalysis),
+        ("IOR", IORAnalysis),
+    ]:
+        ana = make_analysis(name, 100, 100)
+        assert isinstance(ana, cls), name
+        ana.update(rec)
+        scores = ana.abnormality(rec)
+        assert set(scores) == {1, 2, 3}
+        # the outlier never scores below the two regular tracks
+        assert scores[3] >= min(scores[1], scores[2]) - 1e-9, name
+    assert make_analysis("None", 100, 100) is None
+    # PVS uses the size histogram; P must not
+    pvs = make_analysis("HistPVS", 100, 100)
+    p = make_analysis("HistP", 100, 100)
+    pvs.update(rec)
+    p.update(rec)
+    assert pvs.size_hist.sum() > 0 and p.size_hist.sum() == 0
+
+
+def test_tracks_raw_positions():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tracking_tpu.track.tracker import BlobTracker
+    from tracking_tpu.track.trajectory import TrackRecorder
+
+    tracker = BlobTracker()
+    st = tracker.init()
+    mask = np.zeros((64, 96), np.uint8)
+    mask[20:30, 40:52] = 255
+    rec_raw, rec_kal = TrackRecorder(), TrackRecorder()
+    for f in range(6):
+        st, tr = tracker.step(st, jnp.asarray(mask))
+        rec_raw.record(f, tr, raw=True)
+        rec_kal.record(f, tr, raw=False)
+    assert rec_raw.rows and rec_kal.rows
+    # raw rows pin to the (static) blob centroid exactly
+    _, _, rx, ry, rw, rh = rec_raw.rows[-1]
+    assert abs(rx - 45.5) < 1e-3 and abs(ry - 24.5) < 1e-3
+    assert abs(rw - 12.0) < 1e-3 and abs(rh - 10.0) < 1e-3

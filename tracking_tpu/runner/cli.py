@@ -126,7 +126,7 @@ def tracking_run(argv=None):
     from tracking_tpu.io.video import VideoSource
     from tracking_tpu.runner.scan import make_step_fn
     from tracking_tpu.track.tracker import BlobTracker
-    from tracking_tpu.track.trajectory import TrackRecorder, TrajectoryAnalysis
+    from tracking_tpu.track.trajectory import TrackRecorder, make_analysis
 
     p = argparse.ArgumentParser(description="blob tracking pipeline (tracking parity)")
     p.add_argument("video")
@@ -144,6 +144,16 @@ def tracking_run(argv=None):
     p.add_argument(
         "--loadstate", default=None,
         help="resume BGS+tracker state from a checkpoint (trackingMain.cpp:740-758)",
+    )
+    p.add_argument(
+        "--bta", default="HistPVS",
+        help="trajectory analysis module: HistPVS|HistP|HistPV|HistSS|"
+             "TrackDist|IOR|None (trackingMain.cpp:110-121)",
+    )
+    p.add_argument(
+        "--btpp", default="Kalman", choices=["Kalman", "None"],
+        help="track post-processing: Kalman-filtered states (default) or "
+             "raw blob measurements (trackingMain.cpp:104-108)",
     )
     p.add_argument(
         "--log", default=None,
@@ -206,7 +216,7 @@ def tracking_run(argv=None):
         tr_np = jax.tree_util.tree_map(np.asarray, tracks)
         for i in range(len(fgs)):
             frame_tracks = jax.tree_util.tree_map(lambda a: a[i], tr_np)
-            recorder.record(n + i, frame_tracks)
+            recorder.record(n + i, frame_tracks, raw=args.btpp == "None")
             if args.fgavi:
                 if fg_out is None:
                     fg_out = _writer(args.fgavi, 30.0, (fgs.shape[2], fgs.shape[1]))
@@ -258,11 +268,12 @@ def tracking_run(argv=None):
         else:
             recorder.save_csv(args.track)
     if frame_hw and recorder.rows:
-        ana = TrajectoryAnalysis(frame_hw[1], frame_hw[0])
-        ana.update(recorder)
-        scores = ana.abnormality(recorder)
-        for tid, s in sorted(scores.items()):
-            print(f"track {tid}: abnormality={s:.2f}")
+        ana = make_analysis(args.bta, frame_hw[1], frame_hw[0])
+        if ana is not None:
+            ana.update(recorder)
+            scores = ana.abnormality(recorder)
+            for tid, s in sorted(scores.items()):
+                print(f"track {tid}: abnormality={s:.2f} ({args.bta})")
     print(f"tracking: {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps)")
     return 0
 

@@ -62,7 +62,11 @@ class TrackTable(NamedTuple):
 
 
 class Tracks(NamedTuple):
-    """Per-frame tracker output (padded to maxTracks)."""
+    """Per-frame tracker output (padded to maxTracks). x/y/w/h are the
+    Kalman-filtered states (the reference's BlobTrackPostProc=Kalman path);
+    rx/ry/rw/rh are the raw associated-blob measurements (post mean-shift
+    refinement, pre filter) — the BlobTrackPostProc=None path — falling back
+    to the filtered state on unmatched frames."""
 
     active: jnp.ndarray  # [K] bool
     ids: jnp.ndarray  # [K] int32
@@ -70,6 +74,10 @@ class Tracks(NamedTuple):
     y: jnp.ndarray  # [K] f32 center y
     w: jnp.ndarray  # [K] f32
     h: jnp.ndarray  # [K] f32
+    rx: jnp.ndarray  # [K] f32 raw center x
+    ry: jnp.ndarray  # [K] f32 raw center y
+    rw: jnp.ndarray  # [K] f32
+    rh: jnp.ndarray  # [K] f32
 
 
 def _blob_xywh(blobs: Blobs) -> jnp.ndarray:
@@ -291,5 +299,9 @@ class BlobTracker:
             y=kx[:, 1],
             w=jnp.maximum(kx[:, 2], 0.0),
             h=jnp.maximum(kx[:, 3], 0.0),
+            rx=jnp.where(matched, z[:, 0], kx[:, 0]),
+            ry=jnp.where(matched, z[:, 1], kx[:, 1]),
+            rw=jnp.where(matched, z[:, 2], jnp.maximum(kx[:, 2], 0.0)),
+            rh=jnp.where(matched, z[:, 3], jnp.maximum(kx[:, 3], 0.0)),
         )
         return new_state, tracks

@@ -29,11 +29,17 @@ class TrackRecorder:
 
     rows: List[tuple] = field(default_factory=list)
 
-    def record(self, frame_idx: int, tracks) -> None:
+    def record(self, frame_idx: int, tracks, raw: bool = False) -> None:
+        """raw=True records the pre-Kalman blob measurements (the
+        BlobTrackPostProc=None path); default records the filtered states."""
         active = np.asarray(tracks.active)
         ids = np.asarray(tracks.ids)
-        xs, ys = np.asarray(tracks.x), np.asarray(tracks.y)
-        ws, hs = np.asarray(tracks.w), np.asarray(tracks.h)
+        if raw:
+            xs, ys = np.asarray(tracks.rx), np.asarray(tracks.ry)
+            ws, hs = np.asarray(tracks.rw), np.asarray(tracks.rh)
+        else:
+            xs, ys = np.asarray(tracks.x), np.asarray(tracks.y)
+            ws, hs = np.asarray(tracks.w), np.asarray(tracks.h)
         for k in np.nonzero(active)[0]:
             self.rows.append(
                 (int(frame_idx), int(ids[k]), float(xs[k]), float(ys[k]), float(ws[k]), float(hs[k]))
@@ -76,20 +82,45 @@ class TrackRecorder:
 
 
 class TrajectoryAnalysis:
-    """Histogram-based trajectory analysis (HistPVS-style).
+    """Histogram-based trajectory analysis (the legacy HistP/HistPV/HistPVS
+    family, ``cvCreateModuleBlobTrackAnalysisHist*``).
 
-    Builds 2-D position and velocity histograms over all observed track
+    Builds 2-D position / velocity / size histograms over all observed track
     states; a track's abnormality score is the mean negative log-frequency of
-    its states — low-probability trajectories score high, mirroring the legacy
-    analyzers' "abnormal track" flag.
-    """
+    its states — low-probability trajectories score high, mirroring the
+    legacy analyzers' "abnormal track" flag. The P/PV/PVS variants enable the
+    position, +velocity, +size (state) feature sets respectively
+    (``trackingMain.cpp:110-121``)."""
 
-    def __init__(self, frame_w: int, frame_h: int, pos_bins: int = 16, vel_bins: int = 9):
+    def __init__(
+        self,
+        frame_w: int,
+        frame_h: int,
+        pos_bins: int = 16,
+        vel_bins: int = 9,
+        size_bins: int = 9,
+        use_vel: bool = True,
+        use_size: bool = False,
+    ):
         self.frame_w, self.frame_h = frame_w, frame_h
-        self.pos_bins, self.vel_bins = pos_bins, vel_bins
+        self.pos_bins, self.vel_bins, self.size_bins = pos_bins, vel_bins, size_bins
+        self.use_vel, self.use_size = use_vel, use_size
         self.pos_hist = np.zeros((pos_bins, pos_bins), np.float64)
         self.vel_hist = np.zeros((vel_bins, vel_bins), np.float64)
+        self.size_hist = np.zeros((size_bins, size_bins), np.float64)
         self.total = 0
+
+    @classmethod
+    def hist_p(cls, frame_w, frame_h):
+        return cls(frame_w, frame_h, use_vel=False, use_size=False)
+
+    @classmethod
+    def hist_pv(cls, frame_w, frame_h):
+        return cls(frame_w, frame_h, use_vel=True, use_size=False)
+
+    @classmethod
+    def hist_pvs(cls, frame_w, frame_h):
+        return cls(frame_w, frame_h, use_vel=True, use_size=True)
 
     def _pos_bin(self, x, y):
         bx = np.clip((x / self.frame_w * self.pos_bins).astype(int), 0, self.pos_bins - 1)
@@ -103,32 +134,47 @@ class TrajectoryAnalysis:
         by = np.clip(np.round(vy / scale).astype(int) + half, 0, self.vel_bins - 1)
         return bx, by
 
+    def _size_bin(self, w, h):
+        bw = np.clip((w / self.frame_w * self.size_bins).astype(int), 0, self.size_bins - 1)
+        bh = np.clip((h / self.frame_h * self.size_bins).astype(int), 0, self.size_bins - 1)
+        return bw, bh
+
     def update(self, recorder: TrackRecorder) -> None:
         for tid, rows in recorder.tracks_by_id().items():
-            arr = np.array([(x, y) for (_f, _i, x, y, _w, _h) in rows])
+            arr = np.array([(x, y, w, h) for (_f, _i, x, y, w, h) in rows])
             if len(arr) < 2:
                 continue
-            vel = np.diff(arr, axis=0)
             bx, by = self._pos_bin(arr[:, 0], arr[:, 1])
             np.add.at(self.pos_hist, (by, bx), 1)
-            vbx, vby = self._vel_bin(vel[:, 0], vel[:, 1])
-            np.add.at(self.vel_hist, (vby, vbx), 1)
+            if self.use_vel:
+                vel = np.diff(arr[:, :2], axis=0)
+                vbx, vby = self._vel_bin(vel[:, 0], vel[:, 1])
+                np.add.at(self.vel_hist, (vby, vbx), 1)
+            if self.use_size:
+                sbw, sbh = self._size_bin(arr[:, 2], arr[:, 3])
+                np.add.at(self.size_hist, (sbh, sbw), 1)
             self.total += len(arr)
 
     def abnormality(self, recorder: TrackRecorder) -> Dict[int, float]:
         eps = 1e-9
         p_pos = self.pos_hist / max(self.pos_hist.sum(), 1)
         p_vel = self.vel_hist / max(self.vel_hist.sum(), 1)
+        p_size = self.size_hist / max(self.size_hist.sum(), 1)
         scores: Dict[int, float] = {}
         for tid, rows in recorder.tracks_by_id().items():
-            arr = np.array([(x, y) for (_f, _i, x, y, _w, _h) in rows])
+            arr = np.array([(x, y, w, h) for (_f, _i, x, y, w, h) in rows])
             if len(arr) < 2:
                 scores[tid] = 0.0
                 continue
-            vel = np.diff(arr, axis=0)
             bx, by = self._pos_bin(arr[:, 0], arr[:, 1])
-            vbx, vby = self._vel_bin(vel[:, 0], vel[:, 1])
-            nll = -np.log(p_pos[by, bx] + eps).mean() - np.log(p_vel[vby, vbx] + eps).mean()
+            nll = -np.log(p_pos[by, bx] + eps).mean()
+            if self.use_vel:
+                vel = np.diff(arr[:, :2], axis=0)
+                vbx, vby = self._vel_bin(vel[:, 0], vel[:, 1])
+                nll -= np.log(p_vel[vby, vbx] + eps).mean()
+            if self.use_size:
+                sbw, sbh = self._size_bin(arr[:, 2], arr[:, 3])
+                nll -= np.log(p_size[sbh, sbw] + eps).mean()
             scores[tid] = float(nll)
         return scores
 
@@ -203,3 +249,55 @@ class TrackDistAnalysis:
             d = dists[1] if len(dists) > 1 and dists[0] < 1e-9 else dists[0]
             out[tid] = d
         return out
+
+
+class IORAnalysis:
+    """IOR analog (``cvCreateModuleBlobTrackAnalysisIOR``): the legacy
+    "integrator of rules" runs several sub-analyzers and flags a track
+    abnormal if any rule does. Here: the max of the sub-analyzers'
+    normalized abnormality scores (HistP + HistSS + TrackDist by default)."""
+
+    def __init__(self, frame_w: int, frame_h: int, subs=None):
+        self.subs = subs or [
+            TrajectoryAnalysis.hist_p(frame_w, frame_h),
+            StartStopAnalysis(frame_w, frame_h),
+            TrackDistAnalysis(),
+        ]
+
+    def update(self, recorder: TrackRecorder) -> None:
+        for s in self.subs:
+            s.update(recorder)
+
+    def abnormality(self, recorder: TrackRecorder) -> Dict[int, float]:
+        per = [s.abnormality(recorder) for s in self.subs]
+        out: Dict[int, float] = {}
+        for tid in recorder.tracks_by_id():
+            vals = []
+            for scores in per:
+                v = scores.get(tid, 0.0)
+                mx = max(scores.values()) if scores else 0.0
+                vals.append(v / mx if mx > 0 else 0.0)
+            out[tid] = float(max(vals)) if vals else 0.0
+        return out
+
+
+def make_analysis(name: str, frame_w: int, frame_h: int):
+    """Trajectory-analysis module registry by reference nickname
+    (``trackingMain.cpp:110-121``): HistPVS (default), HistP, HistPV,
+    HistSS, TrackDist, IOR, or None."""
+    key = (name or "none").lower()
+    if key == "histpvs":
+        return TrajectoryAnalysis.hist_pvs(frame_w, frame_h)
+    if key == "histp":
+        return TrajectoryAnalysis.hist_p(frame_w, frame_h)
+    if key == "histpv":
+        return TrajectoryAnalysis.hist_pv(frame_w, frame_h)
+    if key == "histss":
+        return StartStopAnalysis(frame_w, frame_h)
+    if key == "trackdist":
+        return TrackDistAnalysis()
+    if key == "ior":
+        return IORAnalysis(frame_w, frame_h)
+    if key == "none":
+        return None
+    raise ValueError(f"unknown trajectory analysis {name!r}")
