@@ -230,3 +230,51 @@ def test_tracks_raw_positions():
     _, _, rx, ry, rw, rh = rec_raw.rows[-1]
     assert abs(rx - 45.5) < 1e-3 and abs(ry - 24.5) < 1e-3
     assert abs(rw - 12.0) < 1e-3 and abs(rh - 10.0) < 1e-3
+
+
+def test_ms_family_trackers_follow_moving_blob():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tracking_tpu.track.tracker import BlobTracker
+
+    H, W = 64, 128
+    for ttype in ("MS", "MSFG", "MSPF"):
+        tracker = BlobTracker(trackerType=ttype, newBlobDetectFrames=3)
+        st = tracker.init()
+        last = None
+        for f in range(14):
+            cx = 20 + 5 * f
+            mask = np.zeros((H, W), np.uint8)
+            mask[24:36, cx - 5 : cx + 5] = 255
+            frame = np.zeros((H, W, 3), np.uint8)
+            frame[24:36, cx - 5 : cx + 5] = (200, 60, 30)
+            st, tr = tracker.step(st, jnp.asarray(mask), jnp.asarray(frame))
+            if bool(np.asarray(tr.active).any()):
+                k = int(np.asarray(tr.active).argmax())
+                last = (float(np.asarray(tr.x)[k]), float(np.asarray(tr.y)[k]))
+        assert last is not None, ttype
+        # track must have followed the blob to the right side
+        assert last[0] > 60, (ttype, last)
+        assert abs(last[1] - 29.5) < 8, (ttype, last)
+        # exactly one track (detections near the tracked object suppressed)
+        assert int(np.asarray(tr.active).sum()) == 1, ttype
+
+
+def test_ms_tracker_without_frame_falls_back_to_fg():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tracking_tpu.track.tracker import BlobTracker
+
+    tracker = BlobTracker(trackerType="MS", newBlobDetectFrames=3)
+    st = tracker.init()
+    for f in range(10):
+        cx = 20 + 4 * f
+        mask = np.zeros((48, 96), np.uint8)
+        mask[18:30, cx - 5 : cx + 5] = 255
+        st, tr = tracker.step(st, jnp.asarray(mask))
+    assert int(np.asarray(tr.active).sum()) == 1
+    k = int(np.asarray(tr.active).argmax())
+    assert float(np.asarray(tr.x)[k]) > 45

@@ -146,6 +146,11 @@ def tracking_run(argv=None):
         help="resume BGS+tracker state from a checkpoint (trackingMain.cpp:740-758)",
     )
     p.add_argument(
+        "--bt", default="CCMSPF",
+        choices=["CC", "CCMSPF", "MS", "MSFG", "MSPF"],
+        help="blob tracker module (trackingMain.cpp:49-68)",
+    )
+    p.add_argument(
         "--bta", default="HistPVS",
         help="trajectory analysis module: HistPVS|HistP|HistPV|HistSS|"
              "TrackDist|IOR|None (trackingMain.cpp:110-121)",
@@ -170,7 +175,7 @@ def tracking_run(argv=None):
             fh.write(f"module: {type(algo).__name__}\n")
             for f in _dc.fields(algo.config):
                 fh.write(f"  {f.name}={getattr(algo.config, f.name)}\n")
-    tracker = BlobTracker()
+    tracker = BlobTracker(trackerType=args.bt)
     src = VideoSource(input_file=args.video)
 
     body = make_step_fn(algo)
@@ -180,7 +185,7 @@ def tracking_run(argv=None):
         def step(carry, frame):
             bgs_state, trk_state = carry
             bgs_state, fg = body(bgs_state, frame)
-            trk_state, tracks = tracker.step(trk_state, fg)
+            trk_state, tracks = tracker.step(trk_state, fg, frame)
             return (bgs_state, trk_state), (fg, tracks)
 
         (bgs_state, trk_state), (fgs, tracks) = jax.lax.scan(

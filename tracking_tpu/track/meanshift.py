@@ -106,3 +106,87 @@ def particle_refine(weight: jnp.ndarray, key, cy, cx, n_particles: int = 16,
     masses = jax.vmap(mass)(cys, cxs)
     best = jnp.argmax(masses)
     return meanshift_refine(weight, cys[best], cxs[best], iters)
+
+
+def window_color_hist(frame_u8, fg_f, cy, cx, bins: int = 8):
+    """FG-weighted color histogram of the WIN×WIN window at (cy, cx) —
+    the template captured at track birth (legacy MS/MSFG trackers build
+    their model from the blob's pixels). [bins³] normalized; a tiny
+    ``1e-3`` floor keeps templates defined on empty-FG windows."""
+    h, w = fg_f.shape
+    y0 = jnp.clip(cy.astype(jnp.int32) - WIN // 2, 0, h - WIN)
+    x0 = jnp.clip(cx.astype(jnp.int32) - WIN // 2, 0, w - WIN)
+    fwin = jax.lax.dynamic_slice(frame_u8, (y0, x0, 0), (WIN, WIN, 3))
+    wt = jax.lax.dynamic_slice(fg_f, (y0, x0), (WIN, WIN)) + 1e-3
+    q = fwin.astype(jnp.int32) >> (8 - 3)
+    code = (q[..., 0] * bins + q[..., 1]) * bins + q[..., 2]
+    hist = jnp.zeros(bins**3, jnp.float32).at[code.reshape(-1)].add(wt.reshape(-1))
+    return hist / jnp.maximum(jnp.sum(hist), 1e-6)
+
+
+def meanshift_color_refine(frame_u8, fg_f, hist, cy, cx, use_fg: bool,
+                           iters: int = 5, bins: int = 8):
+    """Mean-shift over the per-track color backprojection, computed only
+    inside the WIN window per iteration (a full-image backprojection per
+    track would be K× the whole frame). use_fg multiplies the FG mask in
+    (MSFG semantics); plain MS tracks on color alone. Returns (cy, cx,
+    mass). The [bins³]-table lookup is a tiny-table gather (≤ WIN² indices
+    per track — not an [H, W] gather)."""
+    h, w = fg_f.shape
+    ys = jnp.arange(WIN, dtype=jnp.float32)
+    xs = jnp.arange(WIN, dtype=jnp.float32)
+
+    def weight_window(cy, cx):
+        y0 = jnp.clip(cy.astype(jnp.int32) - WIN // 2, 0, h - WIN)
+        x0 = jnp.clip(cx.astype(jnp.int32) - WIN // 2, 0, w - WIN)
+        fwin = jax.lax.dynamic_slice(frame_u8, (y0, x0, 0), (WIN, WIN, 3))
+        q = fwin.astype(jnp.int32) >> (8 - 3)
+        code = (q[..., 0] * bins + q[..., 1]) * bins + q[..., 2]
+        wt = jnp.take(hist, code)
+        if use_fg:
+            wt = wt * jax.lax.dynamic_slice(fg_f, (y0, x0), (WIN, WIN))
+        return wt, y0, x0
+
+    def body(_, c):
+        cy, cx = c
+        wt, y0, x0 = weight_window(cy, cx)
+        m = jnp.sum(wt)
+        my = jnp.sum(wt * ys[:, None]) / jnp.maximum(m, 1e-6)
+        mx = jnp.sum(wt * xs[None, :]) / jnp.maximum(m, 1e-6)
+        ok = m > 1e-6
+        return (
+            jnp.where(ok, y0.astype(jnp.float32) + my, cy),
+            jnp.where(ok, x0.astype(jnp.float32) + mx, cx),
+        )
+
+    cy, cx = jax.lax.fori_loop(0, iters, body, (cy * 1.0, cx * 1.0))
+    wt, _, _ = weight_window(cy, cx)
+    return cy, cx, jnp.sum(wt)
+
+
+def particle_color_refine(frame_u8, fg_f, hist, key, cy, cx, use_fg: bool,
+                          n_particles: int = 16, sigma: float = 6.0,
+                          iters: int = 3, bins: int = 8):
+    """MSPF: jitter candidate centers, keep the heaviest backprojection
+    window, refine it by mean-shift (cvCreateBlobTrackerMSPF semantics)."""
+    h, w = fg_f.shape
+    ky, kx = jax.random.split(key)
+    cys = cy + jax.random.normal(ky, (n_particles,)) * sigma
+    cxs = cx + jax.random.normal(kx, (n_particles,)) * sigma
+
+    def mass(y, x):
+        y0 = jnp.clip(y.astype(jnp.int32) - WIN // 2, 0, h - WIN)
+        x0 = jnp.clip(x.astype(jnp.int32) - WIN // 2, 0, w - WIN)
+        fwin = jax.lax.dynamic_slice(frame_u8, (y0, x0, 0), (WIN, WIN, 3))
+        q = fwin.astype(jnp.int32) >> (8 - 3)
+        code = (q[..., 0] * bins + q[..., 1]) * bins + q[..., 2]
+        wt = jnp.take(hist, code)
+        if use_fg:
+            wt = wt * jax.lax.dynamic_slice(fg_f, (y0, x0), (WIN, WIN))
+        return jnp.sum(wt)
+
+    masses = jax.vmap(mass)(cys, cxs)
+    best = jnp.argmax(masses)
+    return meanshift_color_refine(
+        frame_u8, fg_f, hist, cys[best], cxs[best], use_fg, iters, bins
+    )

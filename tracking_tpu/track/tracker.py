@@ -44,6 +44,14 @@ class TrackerConfig(BGSConfig):
     candidateGate: float = 1.5  # candidate re-detection gate
     # CCMSPF parity: resolve colliding tracks with mean-shift on the FG mask
     useMeanShiftCollision: bool = True
+    # tracker registry (trackingMain.cpp:49-68): CC and CCMSPF associate
+    # detection blobs (CCMSPF adds the mean-shift collision resolver); the
+    # MS family tracks positions by mean-shift over per-track color
+    # backprojections (MS: color only; MSFG: × FG mask; MSPF: particle
+    # jitter + mean-shift), with detections used only for births — as in
+    # CvBlobTrackerAuto, where the detector feeds entries to any tracker.
+    trackerType: str = "CCMSPF"  # CC | CCMSPF | MS | MSFG | MSPF
+    minTrackMass: float = 4.0  # MS-family: window mass below this = miss
 
 
 class TrackTable(NamedTuple):
@@ -59,6 +67,9 @@ class TrackTable(NamedTuple):
     cand_pos: jnp.ndarray  # [K, 4] x, y, w, h
     cand_age: jnp.ndarray  # [K] int32 consecutive detections (0 = empty)
     next_id: jnp.ndarray  # [] int32
+    # MS-family state: per-track color template + RNG (inert in CC modes)
+    hist: jnp.ndarray  # [K, 512] f32 birth-window color histogram
+    key: jnp.ndarray  # PRNGKey (MSPF particle jitter)
 
 
 class Tracks(NamedTuple):
@@ -116,6 +127,8 @@ class BlobTracker:
             cand_pos=jnp.zeros((K, 4), jnp.float32),
             cand_age=jnp.zeros(K, jnp.int32),
             next_id=jnp.zeros((), jnp.int32),
+            hist=jnp.zeros((K, 512), jnp.float32),
+            key=jax.random.PRNGKey(7),
         )
 
     # -- association ------------------------------------------------------
@@ -162,48 +175,104 @@ class BlobTracker:
         return assign, taken
 
     # -- one tracking step -------------------------------------------------
-    def step(self, state: TrackTable, fg_mask: jnp.ndarray) -> Tuple[TrackTable, Tracks]:
+    def step(
+        self,
+        state: TrackTable,
+        fg_mask: jnp.ndarray,
+        frame: jnp.ndarray | None = None,
+    ) -> Tuple[TrackTable, Tracks]:
         cfg = self.config
         K = cfg.maxTracks
+        ttype = cfg.trackerType.upper()
+        ms_family = ttype in ("MS", "MSFG", "MSPF")
         blobs = extract_blobs(fg_mask, max_blobs=cfg.maxBlobs)
         blob_ok = blobs.area >= cfg.minBlobArea
         blob_pos = _blob_xywh(blobs)
+        fg_f = (fg_mask > 0).astype(jnp.float32)
+        if frame is not None and frame.ndim == 2:
+            frame = jnp.repeat(frame[..., None], 3, -1)
 
         # 1) Kalman predict
         kx, kP = kalman.kalman_predict(state.kx, state.kP, self.kparams)
         pred_pos = kx[:, :4]
+        new_key = state.key
 
-        # 2) associate active tracks ↔ blobs
-        assign, taken = self._associate(pred_pos, state.active, blob_pos, blob_ok)
-        matched = assign >= 0
-        z = blob_pos[jnp.clip(assign, 0, cfg.maxBlobs - 1)]
+        if not ms_family:
+            # 2) associate active tracks ↔ blobs (CC / CCMSPF)
+            assign, taken = self._associate(pred_pos, state.active, blob_pos, blob_ok)
+            matched = assign >= 0
+            z = blob_pos[jnp.clip(assign, 0, cfg.maxBlobs - 1)]
 
-        # CCMSPF collision resolution (cvCreateBlobTrackerCCMSPF,
-        # trackingMain.cpp:633): when two active tracks' predicted boxes
-        # overlap, the CC measurement is ambiguous — refine each colliding
-        # track's measurement by mean-shift over the FG mask instead.
-        if cfg.useMeanShiftCollision:
-            from tracking_tpu.track.meanshift import meanshift_refine_batch
+            # CCMSPF collision resolution (cvCreateBlobTrackerCCMSPF,
+            # trackingMain.cpp:633): when two active tracks' predicted boxes
+            # overlap, the CC measurement is ambiguous — refine each
+            # colliding track's measurement by mean-shift over the FG mask.
+            if cfg.useMeanShiftCollision and ttype == "CCMSPF":
+                from tracking_tpu.track.meanshift import meanshift_refine_batch
 
-            px, py = pred_pos[:, 0], pred_pos[:, 1]
-            pw = jnp.maximum(pred_pos[:, 2], 4.0)
-            ph = jnp.maximum(pred_pos[:, 3], 4.0)
-            dx = jnp.abs(px[:, None] - px[None, :])
-            dy = jnp.abs(py[:, None] - py[None, :])
-            overlap = (
-                (dx < (pw[:, None] + pw[None, :]) / 2)
-                & (dy < (ph[:, None] + ph[None, :]) / 2)
-                & state.active[:, None]
-                & state.active[None, :]
-                & ~jnp.eye(K, dtype=bool)
+                px, py = pred_pos[:, 0], pred_pos[:, 1]
+                pw = jnp.maximum(pred_pos[:, 2], 4.0)
+                ph = jnp.maximum(pred_pos[:, 3], 4.0)
+                dx = jnp.abs(px[:, None] - px[None, :])
+                dy = jnp.abs(py[:, None] - py[None, :])
+                overlap = (
+                    (dx < (pw[:, None] + pw[None, :]) / 2)
+                    & (dy < (ph[:, None] + ph[None, :]) / 2)
+                    & state.active[:, None]
+                    & state.active[None, :]
+                    & ~jnp.eye(K, dtype=bool)
+                )
+                colliding = jnp.any(overlap, axis=1) & matched
+                ms_y, ms_x, ms_mass = meanshift_refine_batch(fg_f, py, px)
+                ms_ok = colliding & (ms_mass > 0)
+                z = z.at[:, 0].set(jnp.where(ms_ok, ms_x, z[:, 0]))
+                z = z.at[:, 1].set(jnp.where(ms_ok, ms_y, z[:, 1]))
+        else:
+            # 2') MS family: per-track mean-shift over the color
+            # backprojection (windowed; see track/meanshift.py). Without a
+            # frame the templates are uniform, so the weight degrades to
+            # the FG mask. Detections below only feed births.
+            from tracking_tpu.track.meanshift import (
+                meanshift_color_refine,
+                particle_color_refine,
             )
-            colliding = jnp.any(overlap, axis=1) & matched
-            ms_y, ms_x, ms_mass = meanshift_refine_batch(
-                (fg_mask > 0).astype(jnp.float32), py, px
+
+            frame_u8 = (
+                frame
+                if frame is not None
+                else jnp.zeros(fg_mask.shape + (3,), jnp.uint8)
             )
-            ms_ok = colliding & (ms_mass > 0)
-            z = z.at[:, 0].set(jnp.where(ms_ok, ms_x, z[:, 0]))
-            z = z.at[:, 1].set(jnp.where(ms_ok, ms_y, z[:, 1]))
+            use_fg = ttype in ("MSFG", "MSPF") or frame is None
+            if ttype == "MSPF":
+                new_key, sub = jax.random.split(state.key)
+                keys = jax.random.split(sub, K)
+                ms_y, ms_x, mass = jax.vmap(
+                    lambda h_, k_, y_, x_: particle_color_refine(
+                        frame_u8, fg_f, h_, k_, y_, x_, use_fg
+                    )
+                )(state.hist, keys, pred_pos[:, 1], pred_pos[:, 0])
+            else:
+                ms_y, ms_x, mass = jax.vmap(
+                    lambda h_, y_, x_: meanshift_color_refine(
+                        frame_u8, fg_f, h_, y_, x_, use_fg
+                    )
+                )(state.hist, pred_pos[:, 1], pred_pos[:, 0])
+            matched = state.active & (mass >= cfg.minTrackMass)
+            z = jnp.stack(
+                [ms_x, ms_y, jnp.maximum(pred_pos[:, 2], 0.0),
+                 jnp.maximum(pred_pos[:, 3], 0.0)],
+                axis=1,
+            )
+            # suppress detections covering tracked objects (entries only)
+            d = jnp.linalg.norm(
+                z[:, None, :2] - blob_pos[None, :, :2], axis=-1
+            )
+            scale = 0.5 * (
+                jnp.maximum(z[:, None, 2:4].mean(-1), 1.0)
+                + jnp.maximum(blob_pos[None, :, 2:4].mean(-1), 1.0)
+            )
+            near = (d / scale <= cfg.gateDistance) & matched[:, None]
+            taken = jnp.any(near, axis=0)
 
         kx, kP = kalman.kalman_update(kx, kP, z, matched, self.kparams)
 
@@ -272,6 +341,21 @@ class BlobTracker:
         birth_pos = cand_pos[jnp.clip(slot_cand, 0, K - 1)]
         kx, kP = kalman.kalman_reset_slot(kx, kP, birth, birth_pos, self.kparams)
         n_birth = jnp.sum(birth)
+
+        # MS family: capture the color template at birth
+        hist = state.hist
+        if ms_family:
+            from tracking_tpu.track.meanshift import window_color_hist
+
+            if frame is not None:
+                bh = jax.vmap(
+                    lambda y_, x_: window_color_hist(frame, fg_f, y_, x_)
+                )(birth_pos[:, 1], birth_pos[:, 0])
+            else:
+                # no frame: all-ones template ⇒ weight = FG mask directly
+                # (keeps the window mass in FG-pixel units for minTrackMass)
+                bh = jnp.ones((K, 512), jnp.float32)
+            hist = jnp.where(birth[:, None], bh, hist)
         birth_order = jnp.cumsum(birth.astype(jnp.int32)) - 1
         ids = jnp.where(birth, state.next_id + birth_order, state.ids)
         next_id = state.next_id + n_birth
@@ -291,6 +375,8 @@ class BlobTracker:
             cand_pos=cand_pos,
             cand_age=cand_age,
             next_id=next_id,
+            hist=hist if ms_family else state.hist,
+            key=new_key,
         )
         tracks = Tracks(
             active=active,
