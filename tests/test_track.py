@@ -278,3 +278,30 @@ def test_ms_tracker_without_frame_falls_back_to_fg():
     assert int(np.asarray(tr.active).sum()) == 1
     k = int(np.asarray(tr.active).argmax())
     assert float(np.asarray(tr.x)[k]) > 45
+
+
+def test_bd_cc_uniform_motion_gate():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tracking_tpu.track.tracker import BlobTracker
+
+    def run(detector, jitter):
+        tracker = BlobTracker(
+            blobDetector=detector, newBlobDetectFrames=5, uniformMotionTol=0.3
+        )
+        st = tracker.init()
+        # erratic (or smooth) candidate motion, never matching a track yet
+        xs = [20, 24, 28 + jitter, 32, 36 + jitter, 40, 44 + jitter, 48]
+        for f, cx in enumerate(xs):
+            mask = np.zeros((48, 96), np.uint8)
+            mask[18:30, cx - 5 : cx + 5] = 255
+            st, tr = tracker.step(st, jnp.asarray(mask))
+        return int(np.asarray(tr.active).sum())
+
+    # smooth motion confirms under both detectors
+    assert run("BD_CC", 0) == 1
+    assert run("BD_Simple", 0) == 1
+    # erratic motion: BD_Simple still confirms; BD_CC keeps restarting
+    assert run("BD_Simple", 9) == 1
+    assert run("BD_CC", 9) == 0

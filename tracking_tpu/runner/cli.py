@@ -146,6 +146,10 @@ def tracking_run(argv=None):
         help="resume BGS+tracker state from a checkpoint (trackingMain.cpp:740-758)",
     )
     p.add_argument(
+        "--bd", default="BD_CC", choices=["BD_CC", "BD_Simple"],
+        help="blob detector module (trackingMain.cpp:43-47)",
+    )
+    p.add_argument(
         "--bt", default="CCMSPF",
         choices=["CC", "CCMSPF", "MS", "MSFG", "MSPF"],
         help="blob tracker module (trackingMain.cpp:49-68)",
@@ -175,7 +179,7 @@ def tracking_run(argv=None):
             fh.write(f"module: {type(algo).__name__}\n")
             for f in _dc.fields(algo.config):
                 fh.write(f"  {f.name}={getattr(algo.config, f.name)}\n")
-    tracker = BlobTracker(trackerType=args.bt)
+    tracker = BlobTracker(trackerType=args.bt, blobDetector=args.bd)
     src = VideoSource(input_file=args.video)
 
     body = make_step_fn(algo)

@@ -52,6 +52,12 @@ class TrackerConfig(BGSConfig):
     # CvBlobTrackerAuto, where the detector feeds entries to any tracker.
     trackerType: str = "CCMSPF"  # CC | CCMSPF | MS | MSFG | MSPF
     minTrackMass: float = 4.0  # MS-family: window mass below this = miss
+    # blob-detector registry (trackingMain.cpp:43-47): BD_CC confirms a
+    # candidate only when its re-detections move with uniform velocity
+    # (cvCreateBlobDetectorCC); BD_Simple needs consecutive presence only
+    # (cvCreateBlobDetectorSimple).
+    blobDetector: str = "BD_CC"  # BD_CC | BD_Simple
+    uniformMotionTol: float = 0.7  # BD_CC velocity-consistency gate (×scale)
 
 
 class TrackTable(NamedTuple):
@@ -70,6 +76,7 @@ class TrackTable(NamedTuple):
     # MS-family state: per-track color template + RNG (inert in CC modes)
     hist: jnp.ndarray  # [K, 512] f32 birth-window color histogram
     key: jnp.ndarray  # PRNGKey (MSPF particle jitter)
+    cand_vel: jnp.ndarray  # [K, 2] last candidate step (BD_CC motion gate)
 
 
 class Tracks(NamedTuple):
@@ -129,6 +136,7 @@ class BlobTracker:
             next_id=jnp.zeros((), jnp.int32),
             hist=jnp.zeros((K, 512), jnp.float32),
             key=jax.random.PRNGKey(7),
+            cand_vel=jnp.zeros((K, 2), jnp.float32),
         )
 
     # -- association ------------------------------------------------------
@@ -293,10 +301,23 @@ class BlobTracker:
         # first matching free blob per candidate
         has_cmatch = jnp.any(cmatch, axis=1)
         cblob = jnp.argmax(cmatch, axis=1)
+        new_vel = blob_pos[cblob][:, :2] - state.cand_pos[:, :2]
+        # BD_CC uniform-motion gate: from the 3rd detection on, the step must
+        # match the previous step; a violating chain restarts at age 1
+        if cfg.blobDetector.upper() == "BD_CC":
+            vel_ok = (state.cand_age < 2) | (
+                jnp.linalg.norm(new_vel - state.cand_vel, axis=-1)
+                <= cfg.uniformMotionTol * cscale[:, 0]
+            )
+        else:  # BD_Simple: consecutive presence suffices
+            vel_ok = jnp.ones_like(has_cmatch)
         cand_pos = jnp.where(
             has_cmatch[:, None], blob_pos[cblob], state.cand_pos
         )
-        cand_age = jnp.where(has_cmatch, state.cand_age + 1, 0)
+        cand_vel = jnp.where(has_cmatch[:, None], new_vel, 0.0)
+        cand_age = jnp.where(
+            has_cmatch, jnp.where(vel_ok, state.cand_age + 1, 1), 0
+        )
         # blobs consumed by candidates
         consumed = jnp.zeros_like(free_blob).at[cblob].max(has_cmatch)
         free_blob = free_blob & ~consumed
@@ -377,6 +398,7 @@ class BlobTracker:
             next_id=next_id,
             hist=hist if ms_family else state.hist,
             key=new_key,
+            cand_vel=cand_vel,
         )
         tracks = Tracks(
             active=active,
