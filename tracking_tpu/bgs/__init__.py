@@ -21,3 +21,4 @@ import tracking_tpu.bgs.multicue  # noqa: F401
 import tracking_tpu.bgs.lbp_mrf  # noqa: F401
 import tracking_tpu.bgs.subsense_shrink  # noqa: F401
 import tracking_tpu.bgs.fuzzy  # noqa: F401
+import tracking_tpu.bgs.fgd  # noqa: F401

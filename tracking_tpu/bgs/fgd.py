@@ -1,0 +1,274 @@
+"""FGD — the legacy FGDetector FG_0 / FG_0S models (Li, Huang, Gu, Tian,
+"Foreground Object Detection from Videos Containing Complex Background",
+ACM MM 2003; OpenCV legacy ``CV_BG_MODEL_FGD`` / ``_FGD_SIMPLE``).
+
+The reference's tracking app offers FG_0/FG_0S/FG_1 stock detectors
+(``ustc_src/trackingMain.cpp:37-41``) next to the USTC_BGS override; FG_1
+is MOG (implemented as MixtureOfGaussianV1BGS), FG_0/FG_0S are this model.
+The detector lives in OpenCV legacy (outside the reference repo), so — as
+with the blob trackers — this is a re-derivation from the published method
+using OpenCV's parameter struct (``CvFGDStatModelParams``: N1c/N2c color
+table sizes, N1cc/N2cc co-occurrence sizes, delta, alpha1/2/3, T,
+is_obj_without_holes, perform_morphing, minArea), not a numerical clone.
+
+Method: per pixel, two Bayes tables of quantized-color statistics —
+- a COLOR table (stationary pixels): up to N2c entries (color c, P(c),
+  P(c, bg)), classification over the N1c most frequent entries by the
+  Bayes rule P(bg | c) > 0.5 ⇔ 2·P(c, bg) > P(c);
+- a CO-OCCURRENCE table (changed pixels, |cur − prev| > delta): the same
+  over (prev, cur) color pairs with N1cc/N2cc.
+Unmatched colors are foreground (novel). Statistics decay by alpha2 and
+the matched (or newly inserted / min-P replaced) entry is reinforced
+toward this frame's label; the reported background image is an alpha1
+running average over background pixels. Post-processing: optional
+open/close morphing, border-connected hole filling
+(is_obj_without_holes), and a minArea connected-component gate.
+
+TPU design: tables are mode-major ([N, H, W] leaves, static N unroll) with
+first-match one-hot chains; "top-N1 by P" is computed by pairwise rank
+counting (Σ_j P_j > P_i) instead of keeping tables sorted — no sorts, no
+gathers anywhere. Replacement picks the min-P entry by a select chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
+from tracking_tpu.core.config import BGSConfig
+from tracking_tpu.core.registry import register
+from tracking_tpu.ops.cc import extract_blobs
+from tracking_tpu.ops.morphology import dilate, erode, fill_holes
+
+
+@dataclasses.dataclass(frozen=True)
+class FGDConfig(BGSConfig):
+    # CvFGDStatModelParams defaults (cvaux/include legacy header)
+    Lc: int = 128
+    N1c: int = 15
+    N2c: int = 25
+    Lcc: int = 64
+    N1cc: int = 25
+    N2cc: int = 40
+    is_obj_without_holes: bool = True
+    perform_morphing: int = 1
+    alpha1: float = 0.1
+    alpha2: float = 0.005
+    alpha3: float = 0.1
+    delta: float = 2.0
+    T: float = 0.9
+    minArea: float = 15.0
+    # the paper's foreground-absorption rule: a pixel continuously
+    # foreground this long is relabeled background for the statistics
+    # updates (and the reference background), so repetitive "dynamic
+    # background" motion is gradually learned instead of sticking FG
+    absorbFrames: int = 30
+    showOutput: bool = True
+
+
+def _quant(planes, levels):
+    """Quantize u8 channels to `levels` (the Lc/Lcc color quantization)."""
+    shift = 8 - int(np.log2(levels))
+    return tuple(p >> shift for p in planes)
+
+
+def _first_match(match):
+    """(has, one-hot first True list) over a static list of [H, W] masks."""
+    is_first, none_before = [], jnp.ones_like(match[0])
+    for m in match:
+        is_first.append(m & none_before)
+        none_before = none_before & ~m
+    return ~none_before, is_first
+
+
+class _Table:
+    """Mode-major Bayes table: keys[N][Ck] u8 maps, P / Pb [N] f32 maps."""
+
+    def __init__(self, state, prefix, N):
+        self.keys = [state[f"{prefix}_key"][n] for n in range(N)]  # [Ck,H,W]
+        self.P = [state[f"{prefix}_P"][n] for n in range(N)]
+        self.Pb = [state[f"{prefix}_Pb"][n] for n in range(N)]
+        self.N = N
+
+    def match(self, key):
+        """key: [Ck, H, W]. Exact quantized match per entry."""
+        return [
+            jnp.all(self.keys[n] == key, axis=0) & (self.P[n] > 0.0)
+            for n in range(self.N)
+        ]
+
+    def classify(self, match_list, n1, T):
+        """BG where the first matched entry is among the top-n1 by P and
+        2·Pb > T·P (T folds the paper's prior threshold). The rank is
+        computed for the matched entry only — its stats come out of select
+        chains, making this O(N) map ops instead of O(N²)."""
+        has, first = _first_match(match_list)
+        P_m = sum(jnp.where(first[n], self.P[n], 0.0) for n in range(self.N))
+        Pb_m = sum(jnp.where(first[n], self.Pb[n], 0.0) for n in range(self.N))
+        idx_m = sum(
+            jnp.where(first[n], jnp.int32(n), 0) for n in range(self.N)
+        )
+        rank = sum(
+            ((self.P[j] > P_m) | ((self.P[j] == P_m) & (j < idx_m))).astype(
+                jnp.int32
+            )
+            for j in range(self.N)
+        )
+        return has, has & (rank < n1) & (2.0 * Pb_m > T * P_m)
+
+    def update(self, state, prefix, match_list, key, do, is_bg, alpha):
+        """Decay all entries; reinforce the matched entry, or insert/replace
+        the min-P entry, only where `do`."""
+        has, first = _first_match(match_list)
+        # min-P entry (select chain) for replacement
+        min_p = self.P[0]
+        min_idx = jnp.zeros_like(min_p, jnp.int32)
+        for n in range(1, self.N):
+            better = self.P[n] < min_p
+            min_p = jnp.minimum(min_p, self.P[n])
+            min_idx = jnp.where(better, n, min_idx)
+        lab = is_bg.astype(jnp.float32)
+        newP, newPb, newK = [], [], []
+        for n in range(self.N):
+            at = jnp.where(has, first[n], min_idx == n) & do
+            p_dec = self.P[n] * (1.0 - alpha)
+            pb_dec = self.Pb[n] * (1.0 - alpha)
+            # replacement resets the entry; a match reinforces it
+            p_new = jnp.where(has, p_dec + alpha, alpha)
+            pb_new = jnp.where(has, pb_dec + alpha * lab, alpha * lab)
+            newP.append(jnp.where(do, jnp.where(at, p_new, p_dec), self.P[n]))
+            newPb.append(jnp.where(do, jnp.where(at, pb_new, pb_dec), self.Pb[n]))
+            newK.append(jnp.where((at & ~has)[None], key, self.keys[n]))
+        state[f"{prefix}_key"] = jnp.stack(newK)
+        state[f"{prefix}_P"] = jnp.stack(newP)
+        state[f"{prefix}_Pb"] = jnp.stack(newPb)
+
+
+@register("FGD", aliases=("FG_0", "fgd"))
+class FGD(BGSAlgorithm):
+    """FG_0: the full FGD model."""
+
+    Config = FGDConfig
+
+    def init(self, h: int, w: int, c: int = 3) -> State:
+        cfg = self.config
+        c = max(c, 1)
+        z8 = lambda n, k: jnp.zeros((n, k, h, w), jnp.uint8)
+        zf = lambda n: jnp.zeros((n, h, w), jnp.float32)
+        return {
+            "t": jnp.zeros((), jnp.int32),
+            "prev": jnp.zeros((c, h, w), jnp.uint8),
+            "bg": jnp.zeros((c, h, w), jnp.uint8),
+            "ct_key": z8(cfg.N2c, c),
+            "ct_P": zf(cfg.N2c),
+            "ct_Pb": zf(cfg.N2c),
+            "cc_key": z8(cfg.N2cc, 2 * c),
+            "cc_P": zf(cfg.N2cc),
+            "cc_Pb": zf(cfg.N2cc),
+            "fg_age": jnp.zeros((h, w), jnp.int32),
+        }
+
+    def step(self, state: State, frame: jnp.ndarray) -> StepResult:
+        cfg = self.config
+        planes = (
+            tuple(frame[..., ci] for ci in range(frame.shape[-1]))
+            if frame.ndim == 3
+            else (frame,)
+        )
+        c = len(planes)
+        h, w = planes[0].shape
+        t = state["t"]
+        st = dict(state)
+
+        prev = tuple(state["prev"][ci] for ci in range(c))
+        diff_big = jnp.zeros((h, w), bool)
+        for ci in range(c):
+            d = jnp.abs(planes[ci].astype(jnp.int32) - prev[ci].astype(jnp.int32))
+            diff_big = diff_big | (d > cfg.delta)
+        changed = diff_big & (t > 0)
+
+        ckey = jnp.stack(_quant(planes, cfg.Lc))  # [C, H, W]
+        cckey = jnp.stack(
+            _quant(prev, cfg.Lcc) + _quant(planes, cfg.Lcc)
+        )  # [2C, H, W]
+
+        ct = _Table(state, "ct", cfg.N2c)
+        cc = _Table(state, "cc", cfg.N2cc)
+        ct_m = ct.match(ckey)
+        cc_m = cc.match(cckey)
+        ct_has, ct_bg = ct.classify(ct_m, cfg.N1c, cfg.T)
+        cc_has, cc_bg = cc.classify(cc_m, cfg.N1cc, cfg.T)
+
+        # stationary pixels consult the color table, changed pixels the
+        # co-occurrence table; unmatched (novel) colors are foreground
+        is_bg = jnp.where(changed, cc_has & cc_bg, ct_has & ct_bg)
+        is_bg = is_bg | (t == 0)  # first frame: all background
+
+        # foreground absorption: a pixel continuously foreground for
+        # absorbFrames keeps being relabeled background for the updates
+        # until the statistics genuinely flip it (the counter only resets
+        # on a real background classification)
+        fg_age = jnp.where(is_bg, 0, state["fg_age"] + 1)
+        absorbed = fg_age >= cfg.absorbFrames
+        lab_bg = is_bg | absorbed
+        st["fg_age"] = fg_age
+
+        ct.update(st, "ct", ct_m, ckey, ~changed | (t == 0), lab_bg, cfg.alpha2)
+        cc.update(st, "cc", cc_m, cckey, changed, lab_bg, cfg.alpha2)
+
+        raw = jnp.where(is_bg, jnp.uint8(0), jnp.uint8(255))
+        fg = raw
+        if cfg.perform_morphing > 0:
+            for _ in range(cfg.perform_morphing):
+                fg = dilate(erode(fg, 3), 3)  # open: kill specks
+        if cfg.is_obj_without_holes:
+            filled = fill_holes(fg, seed="border")
+            fg = jnp.where(filled > 0, jnp.uint8(255), jnp.uint8(0))
+        if cfg.minArea > 0:
+            # drop components below minArea (the top-64-by-area cap only
+            # ever drops blobs smaller than every kept one)
+            from tracking_tpu.ops.cc import label_components
+
+            blobs = extract_blobs(fg, max_blobs=64)
+            lab = label_components(fg)
+            keep = jnp.zeros((h, w), bool)
+            for k in range(64):
+                keep = keep | (
+                    (blobs.area[k] >= cfg.minArea)
+                    & (blobs.label[k] >= 0)
+                    & (lab == blobs.label[k])
+                )
+            fg = jnp.where(keep, jnp.uint8(255), jnp.uint8(0))
+
+        new_bg = tuple(
+            jnp.where(
+                lab_bg,
+                jnp.rint(
+                    (1.0 - cfg.alpha1) * state["bg"][ci].astype(jnp.float32)
+                    + cfg.alpha1 * planes[ci].astype(jnp.float32)
+                ).astype(jnp.uint8),
+                state["bg"][ci],
+            )
+            for ci in range(c)
+        )
+        new_bg = tuple(
+            jnp.where(t == 0, planes[ci], new_bg[ci]) for ci in range(c)
+        )
+
+        st["t"] = t + 1
+        st["prev"] = jnp.stack(planes)
+        st["bg"] = jnp.stack(new_bg)
+        bg_img = jnp.moveaxis(st["bg"], 0, -1) if frame.ndim == 3 else st["bg"][0]
+        return st, fg, bg_img
+
+
+@register("FGDSimple", aliases=("FG_0S", "fgd-simple"))
+class FGDSimple(FGD):
+    """FG_0S: the simplified-parameter FGD variant (no morphing cycle)."""
+
+    @dataclasses.dataclass(frozen=True)
+    class Config(FGDConfig):
+        perform_morphing: int = 0

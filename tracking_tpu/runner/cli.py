@@ -134,6 +134,11 @@ def tracking_run(argv=None):
     p.add_argument("--btavi", default=None, help="annotated tracking video out")
     p.add_argument("--track", default=None, help="track file out (.csv or .yml)")
     p.add_argument("--bgs_type", type=int, default=36, help="ustc type id (default SuBSENSE)")
+    p.add_argument(
+        "--fg", default=None, choices=["FG_0", "FG_0S", "FG_1"],
+        help="stock FGDetector module instead of the USTC_BGS override "
+             "(trackingMain.cpp:37-41): FG_0=FGD, FG_0S=FGD simple, FG_1=MOG",
+    )
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
@@ -170,7 +175,12 @@ def tracking_run(argv=None):
     )
     args = p.parse_args(argv)
 
-    algo = get_algorithm(args.bgs_type)()
+    if args.fg:
+        algo = get_algorithm(
+            {"FG_0": "FGD", "FG_0S": "FGDSimple", "FG_1": "MixtureOfGaussianV1BGS"}[args.fg]
+        )()
+    else:
+        algo = get_algorithm(args.bgs_type)()
     if args.log:
         import dataclasses as _dc
 
