@@ -70,7 +70,82 @@ def test_xml_import_from_reference_configs():
     from tracking_tpu.runner.pipeline import PreProcessorConfig
 
     cfg = config_from_xml(PreProcessorConfig, path)
-    assert isinstance(cfg.enableShow, bool) or hasattr(cfg, "equalizeHist")
+    # the checked-in reference config: equalize/blur off, show on
+    assert cfg.equalizeHist is False
+    assert cfg.gaussianBlur is False
+    assert cfg.enableShow is True
+
+    fp_path = os.path.join(REFERENCE, "build", "config", "FrameProcessor.xml")
+    from tracking_tpu.runner.pipeline import FrameProcessorConfig
+
+    fp_cfg = config_from_xml(FrameProcessorConfig, fp_path)
+    assert fp_cfg.enablePreProcessor is True
+    assert fp_cfg.enableFrameDifferenceBGS is True
+    assert fp_cfg.enableSuBSENSEBGS is False
+    assert fp_cfg.tictoc == ""  # CvFileStorage writes an empty string as ""
+
+
+def test_bgs_run_config_driven_fanout(tmp_path):
+    """bgs-run with no -a: FrameProcessor.xml enable flags drive a fused
+    multi-algorithm scan; missing XMLs are written with defaults (saveConfig
+    parity); edited XMLs are picked up on re-read (loadConfig parity)."""
+    video = os.path.join(REFERENCE, "dataset", "video.avi")
+    if not os.path.exists(video):
+        pytest.skip("reference video unavailable")
+    from tracking_tpu.runner.cli import bgs_run
+
+    cfgdir = str(tmp_path / "config")
+    out1 = str(tmp_path / "fg.avi")
+    rc = bgs_run(["-uf", "-fn", video, "--config_dir", cfgdir,
+                  "--max_frames", "8", "--chunk", "4", "-o", out1])
+    assert rc == 0
+    # default configs self-documented to disk; FrameDifference is the default
+    for f in ("FrameProcessor.xml", "PreProcessor.xml", "FrameDifferenceBGS.xml"):
+        assert os.path.exists(os.path.join(cfgdir, f)), f
+    assert os.path.exists(out1)  # single enabled algo → plain path
+
+    # enable a second algorithm by editing the XML (live-editable configs)
+    fp_xml = os.path.join(cfgdir, "FrameProcessor.xml")
+    txt = open(fp_xml).read().replace(
+        "<enableStaticFrameDifferenceBGS>0", "<enableStaticFrameDifferenceBGS>1"
+    )
+    open(fp_xml, "w").write(txt)
+    out2 = str(tmp_path / "fg2.avi")
+    rc = bgs_run(["-uf", "-fn", video, "--config_dir", cfgdir,
+                  "--max_frames", "8", "--chunk", "4", "-o", out2])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "fg2.FrameDifferenceBGS.avi"))
+    assert os.path.exists(str(tmp_path / "fg2.StaticFrameDifferenceBGS.avi"))
+
+
+def test_fanout_live_reload_preserves_state(tmp_path):
+    """_reload_fanout: unchanged XML keeps the compiled fan-out object;
+    enabling a new algorithm mid-run preserves the existing algorithm's
+    state pytree identity and warm-starts only the new one."""
+    import jax.numpy as jnp
+
+    from tracking_tpu.runner.cli import _reload_fanout
+    from tracking_tpu.runner.pipeline import FrameProcessor
+
+    cfgdir = str(tmp_path / "config")
+    fp = FrameProcessor.from_config_dir(cfgdir)
+    assert list(fp.algorithms) == ["FrameDifferenceBGS"]
+    chunk = np.random.default_rng(0).integers(0, 255, (4, 24, 32, 3), np.uint8)
+    states, masks = fp.run(jnp.asarray(chunk))
+    fp2, states2 = _reload_fanout(fp, states, cfgdir, chunk)
+    assert fp2 is fp and states2 is states  # no change → same compiled object
+
+    fp_xml = os.path.join(cfgdir, "FrameProcessor.xml")
+    txt = open(fp_xml).read().replace(
+        "<enableSigmaDeltaBGS>0", "<enableSigmaDeltaBGS>1"
+    )
+    open(fp_xml, "w").write(txt)
+    fp3, states3 = _reload_fanout(fp, states, cfgdir, chunk)
+    assert set(fp3.algorithms) == {"FrameDifferenceBGS", "SigmaDeltaBGS"}
+    # unchanged algorithm's state is reused, not re-initialized
+    assert states3["FrameDifferenceBGS"] is states["FrameDifferenceBGS"]
+    states4, masks = fp3.run(jnp.asarray(chunk), states3)
+    assert set(masks) == {"FrameDifferenceBGS", "SigmaDeltaBGS"}
 
 
 def test_tracking_cli_savestate_loadstate(tmp_path):

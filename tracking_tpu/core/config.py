@@ -44,6 +44,8 @@ def _parse_value(text: str, pytype: type) -> Any:
         return int(float(text))
     if pytype is float:
         return float(text)
+    if text.startswith('"') and text.endswith('"') and len(text) >= 2:
+        return text[1:-1]  # CvFileStorage quotes strings ("" = empty)
     return text
 
 

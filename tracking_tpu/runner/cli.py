@@ -44,7 +44,19 @@ def bgs_run(argv=None):
     p.add_argument("--filename", "-fn", default=None)
     p.add_argument("--use_cam", "-uc", action="store_true")
     p.add_argument("--camera", "-ca", type=int, default=0)
-    p.add_argument("--algorithm", "-a", default="FrameDifferenceBGS")
+    p.add_argument(
+        "--algorithm", "-a", default=None,
+        help="run ONE algorithm by name/alias/type-id; omitted = the "
+             "reference behavior: config_dir/FrameProcessor.xml enable flags "
+             "pick the fan-out (FrameProcessor.h:80-242), per-algorithm XMLs "
+             "configure each, missing XMLs are written with defaults, and "
+             "the XMLs are re-read between chunks (loadConfig-every-frame "
+             "parity, FrameDifferenceBGS.cpp:35-40)",
+    )
+    p.add_argument(
+        "--config_dir", default="./config",
+        help="OpenCV-XML config directory (reference ./config layout)",
+    )
     p.add_argument("--compare", "-co", action="store_true")
     p.add_argument("--stopAt", "-st", type=int, default=0)
     p.add_argument("--imgref", "-im", default=None)
@@ -74,9 +86,20 @@ def bgs_run(argv=None):
             camera_index=args.camera if args.use_cam else None,
         )
         chunk_iter = src.chunks(args.chunk, max_frames=args.max_frames)
-    algo = get_algorithm(args.algorithm)()
+    if args.algorithm is not None:
+        fp = None
+        algo = get_algorithm(args.algorithm)()
+    else:
+        from tracking_tpu.runner.pipeline import FrameProcessor
+
+        fp = FrameProcessor.from_config_dir(args.config_dir)
+        if not fp.algorithms:
+            print("no BGS algorithm enabled in FrameProcessor.xml")
+            return 1
     state = None
+    states = None
     out = None
+    outs = {}
     n = 0
     t0 = time.perf_counter()
 
@@ -97,24 +120,91 @@ def bgs_run(argv=None):
         if pending is not None:
             yield pending
 
+    def _check(m, name, i):
+        if args.compare and args.imgref and n + i == args.stopAt:
+            ref = cv2.imread(args.imgref, 0)
+            score = float(mask_similarity(jnp.asarray(m), jnp.asarray(ref)))
+            print(f"{name} frame {n + i}: similarity = {score:.4f}")
+
     for chunk in _staged(chunk_iter):
-        state, masks = run_video(algo, chunk, state=state)
-        masks = np.asarray(masks)
-        for i, m in enumerate(masks):
-            if args.output:
-                if out is None:
-                    out = _writer(args.output, 30.0, (m.shape[1], m.shape[0]))
-                out.write(cv2.cvtColor(m, cv2.COLOR_GRAY2BGR))
-            if args.compare and args.imgref and n + i == args.stopAt:
-                ref = cv2.imread(args.imgref, 0)
-                score = float(mask_similarity(jnp.asarray(m), jnp.asarray(ref)))
-                print(f"frame {n + i}: similarity = {score:.4f}")
-        n += len(masks)
+        if fp is None:
+            state, masks = run_video(algo, chunk, state=state)
+            masks = np.asarray(masks)
+            for i, m in enumerate(masks):
+                if args.output:
+                    if out is None:
+                        out = _writer(args.output, 30.0, (m.shape[1], m.shape[0]))
+                    out.write(cv2.cvtColor(m, cv2.COLOR_GRAY2BGR))
+                _check(m, args.algorithm, i)
+            n += len(masks)
+        else:
+            states, mask_dict = fp.run(chunk, states)
+            if n == 0 and getattr(fp.config, "tictoc", "") in fp.algorithms:
+                name = fp.config.tictoc
+                secs = fp.profile(chunk)[name]
+                print(f"tictoc: {name} = {secs:.4f}s / {len(chunk)} frames")
+            many = len(fp.algorithms) > 1
+            nm = 0
+            for name, masks in mask_dict.items():
+                masks = np.asarray(masks)
+                nm = len(masks)
+                for i, m in enumerate(masks):
+                    if args.output:
+                        path = args.output
+                        if many:
+                            root, ext = (path.rsplit(".", 1) + ["avi"])[:2]
+                            path = f"{root}.{name}.{ext}"
+                        if name not in outs:
+                            outs[name] = _writer(path, 30.0, (m.shape[1], m.shape[0]))
+                        outs[name].write(cv2.cvtColor(m, cv2.COLOR_GRAY2BGR))
+                    _check(m, name, i)
+            n += nm
+            fp, states = _reload_fanout(fp, states, args.config_dir, chunk)
     dt = time.perf_counter() - t0
     if out is not None:
         out.release()
-    print(f"{args.algorithm}: {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps)")
+    for o in outs.values():
+        o.release()
+    label = args.algorithm if fp is None else "+".join(fp.algorithms)
+    print(f"{label}: {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps)")
     return 0
+
+
+def _reload_fanout(fp, states, config_dir, chunk):
+    """loadConfig-every-frame parity at chunk granularity
+    (``FrameDifferenceBGS.cpp:35-40``: configs are live-editable mid-run).
+
+    Re-reads the XML tree; an unchanged tree keeps the compiled fan-out and
+    all states; any change rebuilds, reusing state for algorithms whose own
+    config is unchanged and warm-starting fresh state (on the last seen
+    frame) for new/reconfigured ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from tracking_tpu.runner.pipeline import FrameProcessor
+
+    new_fp = FrameProcessor.from_config_dir(config_dir)
+    changed = (
+        new_fp.config != fp.config
+        or new_fp.pre.config != fp.pre.config
+        or {k: a.config for k, a in new_fp.algorithms.items()}
+        != {k: a.config for k, a in fp.algorithms.items()}
+    )
+    if not changed:
+        return fp, states
+    h, w = chunk.shape[1], chunk.shape[2]
+    c = chunk.shape[3] if chunk.ndim == 4 else 1
+    kept = {}
+    for name, a in new_fp.algorithms.items():
+        old = fp.algorithms.get(name)
+        if old is not None and old.config == a.config and states:
+            kept[name] = states[name]
+        else:
+            st = a.init(h, w, c)
+            kept[name] = jax.jit(a.warm_start)(
+                st, new_fp.pre.process(jnp.asarray(chunk[-1]))
+            )
+    return new_fp, kept
 
 
 def tracking_run(argv=None):

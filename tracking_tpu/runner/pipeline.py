@@ -98,6 +98,67 @@ class PreProcessor:
         return jnp.where(inside, jnp.rint(v), 0).astype(frame.dtype)
 
 
+_ENABLE_FLAGS = (
+    # verbatim flag order of config/FrameProcessor.xml (FrameProcessor.h:80-242);
+    # values are the registry names the flags enable.
+    ("enableFrameDifferenceBGS", "FrameDifferenceBGS"),
+    ("enableStaticFrameDifferenceBGS", "StaticFrameDifferenceBGS"),
+    ("enableWeightedMovingMeanBGS", "WeightedMovingMeanBGS"),
+    ("enableWeightedMovingVarianceBGS", "WeightedMovingVarianceBGS"),
+    ("enableMixtureOfGaussianV1BGS", "MixtureOfGaussianV1BGS"),
+    ("enableMixtureOfGaussianV2BGS", "MixtureOfGaussianV2BGS"),
+    ("enableAdaptiveBackgroundLearning", "AdaptiveBackgroundLearning"),
+    ("enableGMG", "GMG"),
+    ("enableDPAdaptiveMedianBGS", "DPAdaptiveMedianBGS"),
+    ("enableDPGrimsonGMMBGS", "DPGrimsonGMMBGS"),
+    ("enableDPZivkovicAGMMBGS", "DPZivkovicAGMMBGS"),
+    ("enableDPMeanBGS", "DPMeanBGS"),
+    ("enableDPWrenGABGS", "DPWrenGABGS"),
+    ("enableDPPratiMediodBGS", "DPPratiMediodBGS"),
+    ("enableDPEigenbackgroundBGS", "DPEigenbackgroundBGS"),
+    ("enableDPTextureBGS", "DPTextureBGS"),
+    ("enableT2FGMM_UM", "T2FGMM_UM"),
+    ("enableT2FGMM_UV", "T2FGMM_UV"),
+    ("enableT2FMRF_UM", "T2FMRF_UM"),
+    ("enableT2FMRF_UV", "T2FMRF_UV"),
+    ("enableFuzzySugenoIntegral", "FuzzySugenoIntegral"),
+    ("enableFuzzyChoquetIntegral", "FuzzyChoquetIntegral"),
+    ("enableLBSimpleGaussian", "LBSimpleGaussian"),
+    ("enableLBFuzzyGaussian", "LBFuzzyGaussian"),
+    ("enableLBMixtureOfGaussians", "LBMixtureOfGaussians"),
+    ("enableLBAdaptiveSOM", "LBAdaptiveSOM"),
+    ("enableLBFuzzyAdaptiveSOM", "LBFuzzyAdaptiveSOM"),
+    ("enableLbpMrf", "LbpMrf"),
+    ("enableMultiLayerBGS", "MultiLayerBGS"),
+    ("enableVuMeter", "VuMeter"),
+    ("enableKDE", "KDE"),
+    ("enableIMBS", "IndependentMultimodalBGS"),
+    ("enableMultiCueBGS", "SJN_MultiCueBGS"),
+    ("enableSigmaDeltaBGS", "SigmaDeltaBGS"),
+    ("enableSuBSENSEBGS", "SuBSENSEBGS"),
+    ("enableLOBSTERBGS", "LOBSTERBGS"),
+)
+
+FrameProcessorConfig = dataclasses.make_dataclass(
+    "FrameProcessorConfig",
+    [("tictoc", str, dataclasses.field(default=""))]
+    + [("enablePreProcessor", bool, dataclasses.field(default=True))]
+    + [("enableForegroundMaskAnalysis", bool, dataclasses.field(default=False))]
+    + [
+        (flag, bool, dataclasses.field(default=(flag == "enableFrameDifferenceBGS")))
+        for flag, _ in _ENABLE_FLAGS
+    ],
+    bases=(BGSConfig,),
+    frozen=True,
+)
+FrameProcessorConfig.__doc__ = (
+    "config/FrameProcessor.xml master switches (FrameProcessor.h:80-242): "
+    "one enableX flag per BGS algorithm, PreProcessor/mask-analysis toggles, "
+    "and the tictoc algorithm name. Defaults match the reference's checked-in "
+    "build/config/FrameProcessor.xml (PreProcessor + FrameDifference on)."
+)
+
+
 class FrameProcessor:
     """Fan-out of N enabled BGS algorithms over one shared video pass.
 
@@ -107,6 +168,13 @@ class FrameProcessor:
         fp = FrameProcessor({"framediff": algo1, "mog2": algo2}, pre_cfg)
         states = fp.init(h, w, c)
         states, masks = fp.step(states, frame)     # masks: dict name → [H,W] u8
+
+    ``FrameProcessor.from_config_dir(dir)`` reproduces the reference's
+    XML-driven construction: the enable flags of ``dir/FrameProcessor.xml``
+    pick the algorithms (``FrameProcessor::init``, ``FrameProcessor.cpp:35-155``),
+    each algorithm's own ``dir/<Name>.xml`` configures it, and — saveConfig
+    parity (``FrameDifferenceBGS.cpp:62-72``) — missing XML files are written
+    out with defaults so the directory becomes self-documenting.
     """
 
     def __init__(
@@ -116,6 +184,44 @@ class FrameProcessor:
     ):
         self.algorithms = dict(algorithms)
         self.pre = PreProcessor(pre)
+        # one jit per instance: rebuilding the fan-out (config reload)
+        # recompiles; steady-state chunks hit the cache
+        self._scan = jax.jit(
+            lambda states, frames: jax.lax.scan(self.step, states, frames)
+        )
+
+    @classmethod
+    def from_config_dir(cls, config_dir: str) -> "FrameProcessor":
+        """Build the fan-out from ``config_dir/FrameProcessor.xml`` enable
+        flags (+ per-algorithm XMLs), writing default XMLs where missing."""
+        import os
+
+        from tracking_tpu.core.config import config_from_xml, config_to_xml
+        from tracking_tpu.core.registry import get_algorithm
+
+        fp_path = os.path.join(config_dir, "FrameProcessor.xml")
+        fp_cfg = config_from_xml(FrameProcessorConfig, fp_path)
+        if not os.path.exists(fp_path):
+            config_to_xml(fp_cfg, fp_path)
+        pre_path = os.path.join(config_dir, "PreProcessor.xml")
+        pre_cfg = config_from_xml(PreProcessorConfig, pre_path)
+        if not os.path.exists(pre_path):
+            config_to_xml(pre_cfg, pre_path)
+        if not fp_cfg.enablePreProcessor:
+            pre_cfg = PreProcessorConfig()  # pass-through defaults
+        algos = {}
+        for flag, name in _ENABLE_FLAGS:
+            if not getattr(fp_cfg, flag):
+                continue
+            algo_cls = get_algorithm(name)
+            a_path = os.path.join(config_dir, f"{name}.xml")
+            a_cfg = config_from_xml(algo_cls.Config, a_path)
+            if not os.path.exists(a_path):
+                config_to_xml(a_cfg, a_path)
+            algos[name] = algo_cls(a_cfg)
+        fp = cls(algos, pre_cfg)
+        fp.config = fp_cfg
+        return fp
 
     def init(self, h: int, w: int, c: int = 3) -> Dict[str, object]:
         return {name: a.init(h, w, c) for name, a in self.algorithms.items()}
@@ -141,12 +247,7 @@ class FrameProcessor:
         if states is None:
             states = self.init(h, w, c)
             states = jax.jit(self.warm_start)(states, frames[0])
-
-        @jax.jit
-        def scan(states, frames):
-            return jax.lax.scan(self.step, states, frames)
-
-        return scan(states, frames)
+        return self._scan(states, frames)
 
     def profile(self, frames: jnp.ndarray, repeats: int = 3) -> Dict[str, float]:
         """tictoc equivalent: per-algorithm seconds over the chunk (min of
@@ -154,7 +255,16 @@ class FrameProcessor:
         from tracking_tpu.runner.scan import run_video
 
         timings: Dict[str, float] = {}
-        prepped = frames  # preprocessing timed as its own entry below
+        pre_fn = jax.jit(jax.vmap(self.pre.process))
+        prepped = pre_fn(frames)  # compile + use for the per-algorithm runs
+        _ = int(jnp.sum(prepped[-1].astype(jnp.uint32)))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            p = pre_fn(frames)
+            _ = int(jnp.sum(p[-1].astype(jnp.uint32)))
+            best = min(best, time.perf_counter() - t0)
+        timings["PreProcessor"] = best
         for name, algo in self.algorithms.items():
             state, masks = run_video(algo, prepped)  # compile
             _ = int(jnp.sum(masks[-1].astype(jnp.uint32)))
