@@ -69,3 +69,54 @@ def test_shardmap_flagship_subsense(batch):
     _, masks_sh = run_video_batch_shardmap(algo, batch, mesh)
     _, masks_un = run_video_batch(algo, batch)
     np.testing.assert_array_equal(np.asarray(masks_sh), np.asarray(masks_un))
+
+
+def _spatial_stream(h, w, t=6, seed=3):
+    """One moving-square stream at a given size."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 200, (1, h, w, 3), np.uint8)
+    frames = np.repeat(base, t, axis=0)
+    for i in range(t):
+        frames[i, h // 4 + i : h // 4 + 8 + i, 10 + 2 * i : 24 + 2 * i] = 255
+    return jnp.asarray(frames)
+
+
+@pytest.mark.parametrize("name", ["SuBSENSEBGS", "LOBSTERBGS"])
+def test_spatial_single_stream_exact(name):
+    """8-way row-sharded single stream (explicit ppermute halo exchange)
+    produces bit-identical masks AND state to the unsharded run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from tracking_tpu.parallel.spatial import run_video_spatial
+
+    mesh = make_mesh(8, stream=1)
+    frames = _spatial_stream(64, 48)
+    algo = get_algorithm(name)()
+    st_sp, masks_sp = run_video_spatial(algo, frames, mesh)
+    st_un, masks_un = run_video(algo, frames)
+    np.testing.assert_array_equal(np.asarray(masks_sp), np.asarray(masks_un))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_sp), jax.tree_util.tree_leaves(st_un)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spatial_exact_at_scaling_size():
+    """≥QVGA engages SuBSENSE's frame-level motion analysis / auto-reset
+    machinery (BackgroundSubtractorSuBSENSE.cpp:655-699): the sharded run
+    must still match bit-for-bit (replicated frame-level state, psum'd
+    statistics)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from tracking_tpu.parallel.spatial import run_video_spatial
+
+    mesh = make_mesh(8, stream=1)
+    frames = _spatial_stream(240, 320, t=4)
+    algo = get_algorithm("SuBSENSEBGS")()
+    st_sp, masks_sp = run_video_spatial(algo, frames, mesh)
+    st_un, masks_un = run_video(algo, frames)
+    np.testing.assert_array_equal(np.asarray(masks_sp), np.asarray(masks_un))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_sp), jax.tree_util.tree_leaves(st_un)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -129,7 +129,7 @@ def _sample_offset_field(key, shape):
     return jnp.clip(jnp.sum(r[None] > cdf, axis=0), 0, 48)
 
 
-def _refresh_samples(key, n_samples, n_refresh, start, last_color, last_desc, ok_mask, colors, descs):
+def _refresh_samples(key, n_samples, n_refresh, start, last_color, last_desc, ok_mask, colors, descs, own=None):
     """refreshModel (SuBSENSE :249-291 / LOBSTER :128-170), vectorized.
 
     last_color/last_desc: C-tuples of [H, W]; colors/descs: C-tuples of
@@ -141,7 +141,13 @@ def _refresh_samples(key, n_samples, n_refresh, start, last_color, last_desc, ok
     ``.at[slot].set`` + advanced-indexing chain materialized hundreds of full
     bank copies once vmap-over-streams turned the enclosing ``lax.cond`` into
     a select, killing the TPU worker.
+
+    ``own``: spatial-sharding hook — source maps are *global*-shaped and the
+    draws/picks happen at global shape (identical to the unsharded run);
+    ``own`` then row-slices each picked/ok map down to the shard's banks.
     """
+    if own is None:
+        own = lambda x: x
     h, w = ok_mask.shape
     N = n_samples
     idx = _sample_offset_field(key, (n_refresh, h, w))  # [R, H, W] ∈ 0..48
@@ -158,7 +164,8 @@ def _refresh_samples(key, n_samples, n_refresh, start, last_color, last_desc, ok
         for i, s in enumerate(srcs):
             picked[i] = jnp.where(sel, _shift_clamped(s, -dy, -dx)[None], picked[i])
         ok_p = jnp.where(sel, _shift_clamped(ok_mask, -dy, -dx)[None], ok_p)
-    ok_all = ok_p & ok_mask[None]
+    ok_all = own(ok_p & ok_mask[None])
+    picked = [own(p) for p in picked]
 
     def apply(bank, src):
         # per-draw slot select (no gather): R is small (5 or N)
@@ -235,7 +242,7 @@ def _pick_neighbor(o_idx: jnp.ndarray, offsets: np.ndarray, arrays):
     return tuple(outs)
 
 
-def _apply_pending_xla(ctrl, vals, colors, descs):
+def _apply_pending_xla(ctrl, vals, colors, descs, shift_src=None):
     """Apply a deferred stochastic-update log to the sample banks — the XLA
     twin of the Pallas kernels' in-VMEM apply stage
     (``ops.pallas_consensus._apply_pending_stage``); both backends make
@@ -244,15 +251,21 @@ def _apply_pending_xla(ctrl, vals, colors, descs):
     ctrl [H, W] i32 (``pack_pending_ctrl``), vals C-tuple [H, W] i32
     (``pack_pending_vals``: frame t's color|desc, fire bits on channel 0),
     colors/descs C-tuples of [N, H, W] u8/u16 banks. Returns the updated
-    banks plus the per-channel post-apply color sums (bg image × N)."""
+    banks plus the per-channel post-apply color sums (bg image × N).
+
+    ``shift_src(ci, dy, dx)``: spatial-sharding hook returning the shifted
+    vals channel (halo-extended slabs under ``shard_map``); defaults to the
+    unsharded ``_shift_clamped`` on ``vals`` itself."""
     C = len(colors)
     N = colors[0].shape[0]
+    if shift_src is None:
+        shift_src = lambda ci, dy, dx: _shift_clamped(vals[ci], dy, dx)
     upd1, slot1, u3, u5, slot3, slot5 = unpack_pending_ctrl(ctrl)
 
     ok3 = jnp.zeros(ctrl.shape, bool)
     ok5 = jnp.zeros(ctrl.shape, bool)
     for k, (dx, dy) in enumerate(NB5):
-        fv = _shift_clamped(vals[0], int(dy), int(dx)) >> 24
+        fv = shift_src(0, int(dy), int(dx)) >> 24
         if k in NB3_IN_NB5:
             ok3 = ok3 | ((u3 == k) & ((fv & 1) != 0))
         ok5 = ok5 | ((u5 == k) & ((fv & 2) != 0))
@@ -265,7 +278,7 @@ def _apply_pending_xla(ctrl, vals, colors, descs):
         sel = u == k
         for c in range(C):
             nbv[c] = jnp.where(
-                sel, _shift_clamped(vals[c], int(dy), int(dx)), nbv[c]
+                sel, shift_src(c, int(dy), int(dx)), nbv[c]
             )
     own_col = [(vals[c] & 0xFF).astype(colors[0].dtype) for c in range(C)]
     own_desc = [((vals[c] >> 8) & 0xFFFF).astype(descs[0].dtype) for c in range(C)]
@@ -367,14 +380,23 @@ class LOBSTER(BGSAlgorithm):
         )
         return dict(state, key=key, colors=colors, descs=descs)
 
-    def step(self, state: State, frame: jnp.ndarray) -> StepResult:
+    def step(self, state: State, frame: jnp.ndarray, ctx=None) -> StepResult:
+        """One frame; ``ctx`` switches to row-sharded SPMD mode (see
+        SuBSENSE.step and parallel/spatial.py — same contract)."""
         cfg = self.config
         N = cfg.nBGSamples
         required = cfg.nRequiredBGSamples
-        planes, was_gray = _to_planes(frame)
+        planes_in, was_gray = _to_planes(frame)
+        if ctx is not None:
+            planes_ext = planes_in  # runner pre-extended the frame rows
+            planes = tuple(ctx.crop(p) for p in planes_ext)
+        else:
+            planes_ext = None
+            planes = planes_in
         c = len(planes)
         h, w = planes[0].shape
-        roi = jnp.asarray(_roi_mask(h, w))
+        H = ctx.H if ctx is not None else h
+        roi = jnp.asarray(_roi_mask(h, w)) if ctx is None else ctx.roi(w)
         thr_fn = self._thr_fn(c)
         t = state["t"]
         keys = jax.random.split(state["key"], 8)
@@ -421,7 +443,7 @@ class LOBSTER(BGSAlgorithm):
         # ops/pallas_consensus module docstring). Masks are identical to the
         # eager order; the bg image (bank mean, free from the apply loop)
         # lags the reference's by one frame of ≤2-slot writes.
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = ctx is None and jax.default_backend() == "tpu"
         if use_pallas:
             from tracking_tpu.ops.pallas_consensus import consensus_lobster_pallas
 
@@ -437,10 +459,22 @@ class LOBSTER(BGSAlgorithm):
             )
             intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
         else:
-            colors, descs, bg_sums = _apply_pending_xla(
-                state["pend_ctrl"], state["pend_vals"], colors, descs
-            )
-            intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
+            if ctx is None:
+                colors, descs, bg_sums = _apply_pending_xla(
+                    state["pend_ctrl"], state["pend_vals"], colors, descs
+                )
+                intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
+            else:
+                vals_ext = tuple(
+                    ctx.extend_border(v) for v in state["pend_vals"]
+                )
+                colors, descs, bg_sums = _apply_pending_xla(
+                    state["pend_ctrl"], state["pend_vals"], colors, descs,
+                    shift_src=lambda ci, dy, dx: ctx.shift_ext(vals_ext[ci], dy, dx),
+                )
+                intra_ext, nb_ext = _intra_descriptor(planes_ext, thr_fn)
+                intra_desc = tuple(ctx.crop(d) for d in intra_ext)
+                nb_stack = tuple(ctx.crop(nbv) for nbv in nb_ext)
             count, _ = jax.lax.scan(
                 consensus_body, jnp.zeros((h, w), jnp.int32), (colors, descs)
             )
@@ -448,18 +482,24 @@ class LOBSTER(BGSAlgorithm):
         raw_fg = jnp.where(roi & ~is_bg, jnp.uint8(255), jnp.uint8(0))
 
         # -- stochastic updates (:209-222), logged for the next step ---------
+        # Spatial mode: draws at global shape + row slice, so every pixel
+        # sees the unsharded run's draw (replicated key).
+        def _draw(key, *a, **k):
+            x = jax.random.randint(key, (H, w), *a, **k)
+            return x if ctx is None else ctx.rng_rows(x)
+
         lr = int(np.ceil(cfg.learningRate))
-        r_self = jax.random.randint(keys[2], (h, w), 0, _RMAX)
-        slot_self = jax.random.randint(keys[3], (h, w), 0, N)
+        r_self = _draw(keys[2], 0, _RMAX)
+        slot_self = _draw(keys[3], 0, N)
         self_upd = is_bg & (r_self % lr == 0)
 
         # neighbor spread, gather form: dest p draws offset o; source q = p−o
         # passes its own 1/lr draw and BG test; p receives q's color/desc.
         # 3×3-only spread: fire bit1 (5×5) stays clear, u5/slot5 inert.
-        r_nb_dec = jax.random.randint(keys[4], (h, w), 0, _RMAX)
-        o_idx = jax.random.randint(keys[5], (h, w), 0, len(_NB3))
+        r_nb_dec = _draw(keys[4], 0, _RMAX)
+        o_idx = _draw(keys[5], 0, len(_NB3))
         src_fire = is_bg & (r_nb_dec % lr == 0)
-        slot_nb = jax.random.randint(keys[6], (h, w), 0, N)
+        slot_nb = _draw(keys[6], 0, N)
         zero = jnp.zeros((h, w), jnp.int32)
         pend_ctrl = pack_pending_ctrl(
             self_upd, slot_self, nb3_to_nb5_idx(o_idx), zero, slot_nb, zero
@@ -467,7 +507,12 @@ class LOBSTER(BGSAlgorithm):
         pend_vals = pack_pending_vals(planes, intra_desc, src_fire)
 
         # -- post-proc: median blur 9 (:287) ---------------------------------
-        final = binary_median_blur(raw_fg, DEFAULT_MEDIAN_KSIZE)
+        if ctx is None:
+            final = binary_median_blur(raw_fg, DEFAULT_MEDIAN_KSIZE)
+        else:
+            final = ctx.own_rows(
+                binary_median_blur(ctx.gather_rows(raw_fg), DEFAULT_MEDIAN_KSIZE)
+            )
 
         bg_planes = tuple(
             jnp.rint(bg_sums[ci].astype(jnp.float32) / N).astype(jnp.uint8)
@@ -621,7 +666,14 @@ class SuBSENSE(BGSAlgorithm):
         )
         return dict(state, key=key, colors=colors, descs=descs)
 
-    def step(self, state: State, frame: jnp.ndarray) -> StepResult:
+    def step(self, state: State, frame: jnp.ndarray, ctx=None) -> StepResult:
+        """One frame. ``ctx`` (parallel.spatial.SpatialCtx) switches the step
+        into row-sharded SPMD mode inside ``shard_map``: ``frame`` arrives
+        halo-extended, stencil reads go through halo-extended slabs, the
+        flood-fill/post-proc chain and frame-level statistics run on
+        all-gathered full masks, and RNG fields are drawn at global shape and
+        row-sliced — the produced masks are bit-identical to the unsharded
+        run (tests/test_mesh.py)."""
         cfg = self.config
         N = cfg.nBGSamples
         # per-pixel required-sample map hook: subsenseShrink raises the
@@ -630,14 +682,24 @@ class SuBSENSE(BGSAlgorithm):
         required = cfg.nRequiredBGSamples + state.get(
             "shrink_req_offset", jnp.zeros((), jnp.int32)
         )
-        planes, was_gray = _to_planes(frame)
+        planes_in, was_gray = _to_planes(frame)
+        if ctx is not None:
+            planes_ext = planes_in  # runner pre-extended the frame rows
+            planes = tuple(ctx.crop(p) for p in planes_ext)
+        else:
+            planes_ext = None
+            planes = planes_in
         c = len(planes)
         h, w = planes[0].shape
+        H = ctx.H if ctx is not None else h  # global height
         scaling, use3x3_global, median_ksize, t_lower_static, t_upper_static = (
-            self._size_policy(h, w)
+            self._size_policy(H, w)
         )
-        roi = jnp.asarray(_roi_mask(h, w))
-        n_roi_px = int(_roi_mask(h, w).sum())
+        if ctx is None:
+            roi = jnp.asarray(_roi_mask(h, w))
+        else:
+            roi = ctx.roi(w)
+        n_roi_px = (H - 2 * lbsp.BORDER) * (w - 2 * lbsp.BORDER)
         max_color = 255 * c
         max_desc = 16 * c
         t = state["t"]
@@ -655,7 +717,8 @@ class SuBSENSE(BGSAlgorithm):
         # -- thresholds (old unstable mask; :327-328) ------------------------
         # On the Pallas path the kernel derives these per-tile from R and
         # the old unstable mask (two fewer full-map materializations).
-        use_pallas = jax.default_backend() == "tpu"
+        # Spatial sharding uses the XLA formulation (see parallel/spatial.py).
+        use_pallas = ctx is None and jax.default_backend() == "tpu"
         R = state["R"]
         old_unstable = state["unstable"]
         if not use_pallas:
@@ -745,10 +808,24 @@ class SuBSENSE(BGSAlgorithm):
             )
             intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
         else:
-            colors, descs, bg_sums = _apply_pending_xla(
-                state["pend_ctrl"], state["pend_vals"], colors, descs
-            )
-            intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
+            if ctx is None:
+                colors, descs, bg_sums = _apply_pending_xla(
+                    state["pend_ctrl"], state["pend_vals"], colors, descs
+                )
+                intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
+            else:
+                # stencil reads ride halo-extended slabs; everything else is
+                # per-pixel on the owned rows
+                vals_ext = tuple(
+                    ctx.extend_border(v) for v in state["pend_vals"]
+                )
+                colors, descs, bg_sums = _apply_pending_xla(
+                    state["pend_ctrl"], state["pend_vals"], colors, descs,
+                    shift_src=lambda ci, dy, dx: ctx.shift_ext(vals_ext[ci], dy, dx),
+                )
+                intra_ext, nb_ext = _intra_descriptor(planes_ext, thr_fn)
+                intra_desc = tuple(ctx.crop(d) for d in intra_ext)
+                nb_stack = tuple(ctx.crop(nbv) for nbv in nb_ext)
             carry0 = (
                 jnp.zeros((h, w), jnp.int32),
                 jnp.full((h, w), max_desc, jnp.int32),
@@ -780,8 +857,12 @@ class SuBSENSE(BGSAlgorithm):
         from tracking_tpu.ops.pallas_feedback import FeedbackConsts, feedback_xla
 
         bits = jax.lax.bitcast_convert_type(
-            jax.random.bits(keys[2], (4, h, w), jnp.uint32), jnp.int32
+            jax.random.bits(keys[2], (4, H, w), jnp.uint32), jnp.int32
         )
+        if ctx is not None:
+            # global-shape draw + row slice: every pixel sees the same draw
+            # as the unsharded run (replicated key)
+            bits = ctx.rng_rows(bits)
         # native dtypes throughout (u8 planes/masks, u16 descs): the kernel
         # widens per-tile in VMEM; widening whole maps here would burn HBM
         fb_tensors = dict(
@@ -840,18 +921,36 @@ class SuBSENSE(BGSAlgorithm):
         T, v, R = fb.T, fb.v, fb.R
 
         # nonzero-descriptor ratio (:430-431 / :577-578)
-        nz_ratio = jnp.sum(fb.nz & roi).astype(jnp.float32) / n_roi_px
+        nz_sum = jnp.sum(fb.nz & roi).astype(jnp.float32)
+        if ctx is not None:
+            nz_sum = ctx.psum(nz_sum)
+        nz_ratio = nz_sum / n_roi_px
 
         # -- post-processing (:624-642) --------------------------------------
+        # Spatial mode: flood-fill hole filling is border-connected global
+        # propagation (unbounded reach), so the whole chain runs replicated
+        # on the all-gathered full mask — same code, same array, bit-equal —
+        # and the owned rows are sliced back out (Amdahl cost ≈ the ~15%
+        # post-proc share of the step).
         curr_blink = fb.curr_blink  # xor of raw masks
-        pre_flood = morph_close(raw_fg, 3)
+        if ctx is None:
+            raw_full, is_fg_full = raw_fg, is_fg
+        else:
+            raw_full = ctx.gather_rows(raw_fg)
+            is_fg_full = ctx.gather_rows(is_fg)
+        pre_flood = morph_close(raw_full, 3)
         filled = fill_holes(pre_flood, seed="corner")
         holes = (filled > 0) & ~(pre_flood > 0)
         pre_flood_eroded = erode(erode(erode(pre_flood, 3), 3), 3)
-        fg1 = jnp.where(is_fg | holes | (pre_flood_eroded > 0), jnp.uint8(255), jnp.uint8(0))
-        final = binary_median_blur(fg1, median_ksize)
-        final_dilated = dilate(dilate(dilate(final, 3), 3), 3) > 0
-        dil_inv = ~final_dilated
+        fg1 = jnp.where(is_fg_full | holes | (pre_flood_eroded > 0), jnp.uint8(255), jnp.uint8(0))
+        final_full = binary_median_blur(fg1, median_ksize)
+        final_dilated = dilate(dilate(dilate(final_full, 3), 3), 3) > 0
+        dil_inv_full = ~final_dilated
+        if ctx is None:
+            final, dil_inv = final_full, dil_inv_full
+        else:
+            final = ctx.own_rows(final_full)
+            dil_inv = ctx.own_rows(dil_inv_full)
         # fb.blinks_pre = (curr_blink | last_blink_mask) & STALE inverted
         # mask (:637); the fresh inverted mask applies after post-proc (:639)
         blinks = fb.blinks_pre & dil_inv
@@ -873,10 +972,21 @@ class SuBSENSE(BGSAlgorithm):
         auto_reset = state["auto_reset"]
         ds_lt, ds_st = state["ds_lt"], state["ds_st"]
         if scaling:
-            dsh, dsw = h // DOWNSAMPLE_RATIO, w // DOWNSAMPLE_RATIO
+            # Spatial mode: the downsampled maps and trigger are *frame-level*
+            # state (replicated); compute them from the all-gathered planes so
+            # every shard runs the identical code on the identical array.
+            if ctx is None:
+                planes_full = planes
+                intra_full = intra_desc
+                final_fg_full = final_fg
+            else:
+                planes_full = tuple(ctx.gather_rows(p) for p in planes)
+                intra_full = tuple(ctx.gather_rows(d) for d in intra_desc)
+                final_fg_full = final_full > 0
+            dsh, dsw = H // DOWNSAMPLE_RATIO, w // DOWNSAMPLE_RATIO
             ds = tuple(
                 jnp.mean(
-                    planes[ci][: dsh * DOWNSAMPLE_RATIO, : dsw * DOWNSAMPLE_RATIO]
+                    planes_full[ci][: dsh * DOWNSAMPLE_RATIO, : dsw * DOWNSAMPLE_RATIO]
                     .reshape(dsh, DOWNSAMPLE_RATIO, dsw, DOWNSAMPLE_RATIO)
                     .astype(jnp.float32),
                     axis=(1, 3),
@@ -905,13 +1015,25 @@ class SuBSENSE(BGSAlgorithm):
             # The reference refreshes AFTER frame t's stochastic writes
             # (:656-700 runs at frame end): the rare trigger branch applies
             # the pending log eagerly, refreshes, and clears the log so the
-            # next step doesn't replay it.
+            # next step doesn't replay it. Spatial mode hoists the halo
+            # exchange of the fresh log out of the cond (collectives may not
+            # live inside a conditional branch).
+            if ctx is not None:
+                new_vals_ext = tuple(ctx.extend_border(v) for v in pend_vals)
+                refresh_shift = lambda ci, dy, dx: ctx.shift_ext(new_vals_ext[ci], dy, dx)
+                refresh_own = ctx.own_rows
+            else:
+                refresh_shift = None
+                refresh_own = None
+
             def _do_refresh(args):
                 cd_colors, cd_descs, ctrl = args
-                ac, ad, _ = _apply_pending_xla(ctrl, pend_vals, cd_colors, cd_descs)
+                ac, ad, _ = _apply_pending_xla(
+                    ctrl, pend_vals, cd_colors, cd_descs, shift_src=refresh_shift
+                )
                 rc, rd = _refresh_samples(
-                    keys[9], N, n_refresh, start, planes, intra_desc, ~final_fg,
-                    ac, ad,
+                    keys[9], N, n_refresh, start, planes_full, intra_full,
+                    ~final_fg_full, ac, ad, own=refresh_own,
                 )
                 return rc, rd, jnp.zeros_like(ctrl)
 

@@ -23,6 +23,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:  # jax >= 0.7 exposes shard_map at top level (check_vma kwarg);
+    # the experimental module (check_rep kwarg) is deprecated.
+    from jax import shard_map as _shard_map_top
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map_top(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
 
 def make_mesh(
     n_devices: Optional[int] = None,
@@ -79,8 +91,6 @@ def run_video_batch_shardmap(algo, frames: jnp.ndarray, mesh: Mesh, states=None)
     frames: [B, T, H, W, C] with B divisible by the mesh's stream size.
     Returns (states, masks [B, T, H, W]).
     """
-    from jax.experimental.shard_map import shard_map
-
     from tracking_tpu.runner.scan import make_step_fn
 
     b, t, h, w = frames.shape[:4]
