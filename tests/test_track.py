@@ -305,3 +305,171 @@ def test_bd_cc_uniform_motion_gate():
     # erratic motion: BD_Simple still confirms; BD_CC keeps restarting
     assert run("BD_Simple", 9) == 1
     assert run("BD_CC", 9) == 0
+
+
+def test_ccmspf_keeps_ids_through_crossing():
+    """VERDICT #8: two objects CROSS paths; CCMSPF must keep identities
+    through the crossing (legacy CCMSPF's raison d'être,
+    trackingMain.cpp:49-68). Identity is carried by Kalman velocity through
+    the merged-blob frames plus the mean-shift collision refinement.
+
+    Where the approximation breaks vs the legacy particle filter: greedy
+    nearest-prediction association with a mask-only mean-shift has no
+    appearance model, so long occlusions (many merged frames) or two objects
+    crossing at matched speed and position can still swap ids where the
+    legacy per-track appearance-weighted particle sets could hold them
+    (documented in track/tracker.py)."""
+    tracker = BlobTracker(
+        trackerType="CCMSPF", newBlobDetectFrames=3, minBlobArea=10,
+        maxLostFrames=5,
+    )
+    state = tracker.init()
+    h, w = 64, 160
+    # A: left→right along y=24; B: right→left along y=30 (boxes overlap
+    # vertically, so the masks merge while they cross near x≈80)
+    id_first_x = {}
+    last_x = {}
+    for t in range(28):
+        ax, bx = 15 + 5 * t, 145 - 5 * t
+        m = _square_mask(h, w, ax, 24) | _square_mask(h, w, bx, 30)
+        state, tracks = tracker.step(state, jnp.asarray(m))
+        act = np.asarray(tracks.active)
+        for k in np.nonzero(act)[0]:
+            tid = int(np.asarray(tracks.ids)[k])
+            x = float(np.asarray(tracks.x)[k])
+            id_first_x.setdefault(tid, x)
+            last_x[tid] = x
+    # exactly two identities across the whole run (no id churn)
+    assert len(id_first_x) == 2, id_first_x
+    ids = sorted(id_first_x, key=id_first_x.get)
+    left_id, right_id = ids[0], ids[-1]
+    # identities preserved THROUGH the crossing: the track that started on
+    # the left ends on the right and vice versa
+    assert last_x[left_id] > 100, (id_first_x, last_x)
+    assert last_x[right_id] < 60, (id_first_x, last_x)
+
+
+def test_online_analysis_matches_offline():
+    """The per-frame protocol (add_frame/finish) must learn the same model
+    as the offline batch path (update)."""
+    from tracking_tpu.track.trajectory import TrajectoryAnalysis
+
+    class T:
+        def __init__(self, ids, xs, ys):
+            n = len(ids)
+            self.active = np.ones(n, bool)
+            self.ids = np.array(ids)
+            self.x = np.array(xs, np.float64)
+            self.y = np.array(ys, np.float64)
+            self.w = np.full(n, 8.0)
+            self.h = np.full(n, 8.0)
+
+    rec = TrackRecorder()
+    online = TrajectoryAnalysis(100, 100)
+    offline = TrajectoryAnalysis(100, 100)
+    for f in range(12):
+        tr = T([0, 1], [5.0 + 4 * f, 90.0 - 3 * f], [20.0, 70.0])
+        rec.record(f, tr)
+        online.add_frame(f, tr)
+    online.finish()
+    offline.update(rec)
+    np.testing.assert_array_equal(online.pos_hist, offline.pos_hist)
+    np.testing.assert_array_equal(online.vel_hist, offline.vel_hist)
+    # live scores exist while tracks are live
+    online2 = TrajectoryAnalysis(100, 100)
+    for f in range(6):
+        online2.add_frame(f, T([0], [5.0 + 4 * f], [20.0]))
+    assert set(online2.frame_scores()) == {0}
+
+
+def test_ior_scores_stable_as_tracks_arrive():
+    """VERDICT weak #9: IOR scores must not change retroactively when new
+    tracks arrive (each rule thresholds independently — no batch-max
+    normalization)."""
+    from tracking_tpu.track.trajectory import IORAnalysis
+
+    def rows(tid, x0, dx, y):
+        return [(f, tid, x0 + dx * f, y, 8.0, 8.0) for f in range(10)]
+
+    ana = IORAnalysis(200, 200)
+    rec1 = TrackRecorder()
+    rec1.rows += rows(1, 10, 5, 50) + rows(2, 12, 5, 52)
+    ana.update(rec1)
+    s_before = ana.abnormality(rec1)[1]
+    # a wild new track arrives; track 1's score must be unchanged
+    rec2 = TrackRecorder()
+    rec2.rows += rows(1, 10, 5, 50) + rows(2, 12, 5, 52) + rows(9, 190, -19, 5)
+    s_after = ana.abnormality(rec2)[1]
+    assert abs(s_before - s_after) < 1e-12
+
+
+def test_bta_data_roundtrip(tmp_path):
+    """bta_data= persistence (trackingMain.cpp:545-556): the learned model
+    survives a save/load cycle for every analyzer kind."""
+    from tracking_tpu.track.trajectory import make_analysis
+
+    rec = TrackRecorder()
+    for f in range(10):
+        rec.rows.append((f, 1, 10.0 + 4 * f, 20.0, 8.0, 8.0))
+        rec.rows.append((f, 2, 60.0, 5.0 + 9 * f, 8.0, 8.0))
+    for name in ("HistPVS", "HistSS", "TrackDist", "IOR"):
+        a = make_analysis(name, 100, 100)
+        a.update(rec)
+        path = str(tmp_path / f"{name}.db")
+        a.save_data(path)
+        b = make_analysis(name, 100, 100)
+        b.load_data(path)
+        assert a.abnormality(rec) == b.abnormality(rec), name
+
+
+def test_yml_roundtrip(tmp_path):
+    """BlobTrackGen=YML writes OpenCV-FileStorage YAML that a CvFileStorage
+    reader (cv2.FileStorage) parses back to the same rows."""
+    rec = TrackRecorder()
+    for f in range(5):
+        rec.rows.append((f, 0, 10.0 + f, 20.0, 8.0, 6.0))
+        rec.rows.append((f, 3, 50.0, 12.0 + 2 * f, 9.0, 7.0))
+    path = str(tmp_path / "tracks.yml")
+    rec.save_yml(path)
+    with open(path) as fh:
+        assert fh.readline().startswith("%YAML")
+    rec2 = TrackRecorder.load_yml(path)
+    assert len(rec2.rows) == len(rec.rows)
+    for a, b in zip(sorted(rec.rows), sorted(rec2.rows)):
+        assert a[0] == b[0] and a[1] == b[1]
+        np.testing.assert_allclose(a[2:], b[2:], rtol=1e-6)
+
+
+def test_fg_train_frames_and_empty_tracks():
+    """FGTrainFrames parity: no tracks emitted while the detector trains."""
+    tracker = BlobTracker(newBlobDetectFrames=2, minBlobArea=10)
+    state = tracker.init()
+    empty = tracker.empty_tracks(state)
+    assert not bool(np.asarray(empty.active).any())
+    # same pytree structure as a real step's output (lax.cond requirement)
+    _, real = tracker.step(state, jnp.asarray(_square_mask(48, 64, 20, 20)))
+    ta, tb = jax.tree_util.tree_structure(empty), jax.tree_util.tree_structure(real)
+    assert ta == tb
+
+
+def test_ref_token_cli_conversion():
+    """Reference-style tokens (build/tracking.sh) map onto the argparse
+    surface; prefix:Param=value tokens are split out for module forwarding."""
+    from tracking_tpu.runner.cli import _apply_module_params, _convert_ref_tokens
+    from tracking_tpu.track.tracker import TrackerConfig
+
+    argv, params = _convert_ref_tokens(
+        ["btavi=bt.avi", "fgavi=fg.avi", "bt=CC", "FGTrainFrames=10",
+         "bt:maxLostFrames=7", "video.avi"]
+    )
+    assert argv == [
+        "--btavi", "bt.avi", "--fgavi", "fg.avi", "--bt", "CC",
+        "--FGTrainFrames", "10", "video.avi",
+    ]
+    assert params == ["bt:maxLostFrames=7"]
+    cfg = TrackerConfig()
+    upd = _apply_module_params(
+        ["bt:maxLostFrames=7", "bt:GateDistance=3.5", "bt:nosuchparam=1"],
+        {"bt": ("CC", cfg)},
+    )
+    assert upd == {"bt": {"maxLostFrames": 7, "gateDistance": 3.5}}

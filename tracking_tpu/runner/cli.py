@@ -207,6 +207,71 @@ def _reload_fanout(fp, states, config_dir, chunk):
     return new_fp, kept
 
 
+_REF_TOKENS = (
+    "fg", "fgavi", "btavi", "bd", "bt", "bt_corr", "btpp", "bta",
+    "bta_data", "btgen", "track", "FGTrainFrames", "log",
+    "savestate", "loadstate",
+)
+
+
+def _convert_ref_tokens(argv):
+    """Reference-style CLI parity (``trackingMain.cpp:461-496``): tokens
+    ``name=value`` (e.g. ``btavi=btout.avi fgavi=fgout.avi video.avi``, as in
+    ``build/tracking.sh``) become ``--name value``; a bare ``*.avi`` token is
+    the positional video; ``prefix:Param=value`` module-parameter tokens
+    (``set_params``, ``trackingMain.cpp:308-345``) pass through for
+    :func:`_apply_module_params`."""
+    out, params = [], []
+    for a in argv:
+        name = a.split("=", 1)[0]
+        if "=" in a and ":" in name:
+            params.append(a)
+        elif "=" in a and name in _REF_TOKENS:
+            out.extend([f"--{name}", a.split("=", 1)[1]])
+        else:
+            out.append(a)
+    return out, params
+
+
+def _apply_module_params(tokens, modules):
+    """Generic per-module parameter forwarding (``set_params``,
+    ``trackingMain.cpp:308-345``): each ``prefix:Param=value`` token sets the
+    case-insensitively matching config field of the module registered under
+    ``prefix``; a match prints the reference's confirmation line. Returns
+    {prefix: {field: value}} of applied updates."""
+    import dataclasses as _dc
+
+    applied = {}
+    for tok in tokens:
+        prefix, rest = tok.split(":", 1)
+        if "=" not in rest:
+            continue
+        pname, value = rest.split("=", 1)
+        mod = modules.get(prefix)
+        if mod is None:
+            continue
+        nickname, cfg = mod
+        for f in _dc.fields(cfg):
+            if f.name.lower() != pname.lower():
+                continue
+            typ = type(getattr(cfg, f.name))
+            if typ is bool:
+                val = value.lower() in ("1", "true", "yes")
+            elif typ is int:
+                val = int(float(value))
+            elif typ is float:
+                val = float(value)
+            else:
+                val = value
+            applied.setdefault(prefix, {})[f.name] = val
+            try:
+                shown = float(val)
+            except (TypeError, ValueError):
+                shown = val
+            print(f"{nickname}:{f.name} param set to {shown}")
+    return applied
+
+
 def tracking_run(argv=None):
     import cv2
     import jax
@@ -260,10 +325,44 @@ def tracking_run(argv=None):
              "raw blob measurements (trackingMain.cpp:104-108)",
     )
     p.add_argument(
+        "--btgen", default=None, choices=["YML", "RawTracks"],
+        help="trajectory generator module for track= output "
+             "(trackingMain.cpp:505-516): YML (default) writes OpenCV-"
+             "FileStorage YAML, RawTracks writes frame,id,x,y,w,h CSV",
+    )
+    p.add_argument(
+        "--bt_corr", default="none",
+        help="tracker correction by post-processing (trackingMain.cpp:"
+             "517-527): none | PostProcRes | <postproc name>. In this "
+             "architecture the Kalman post-processor IS the tracker's "
+             "internal predictor (one shared Kalman bank, track/tracker.py),"
+             " so PostProcRes coincides with the default prediction path; "
+             "the flag is accepted for invocation parity and a PP name "
+             "(e.g. Kalman) also selects that post-processor.",
+    )
+    p.add_argument(
+        "--FGTrainFrames", type=int, default=0,
+        help="pre-train the FG detector for N frames before tracking "
+             "starts (param.FGTrainFrames, trackingMain.cpp:611)",
+    )
+    p.add_argument(
+        "--bta_data", default=None,
+        help="trajectory-analysis database file (bta_data=, trackingMain."
+             "cpp:545-556): loaded at start if present, saved at end (.npz)",
+    )
+    p.add_argument(
         "--log", default=None,
         help="append module parameter dump to a file (print_params, trackingMain.cpp:348-380)",
     )
-    args = p.parse_args(argv)
+    argv2, mod_params = _convert_ref_tokens(
+        list(sys.argv[1:] if argv is None else argv)
+    )
+    args = p.parse_args(argv2)
+    # bt_corr=<PP name> selects that post-processor + correction
+    # (trackingMain.cpp:517-527)
+    if args.bt_corr.lower() not in ("none", "postprocres"):
+        args.btpp = args.bt_corr
+        args.bt_corr = "PostProcRes"
 
     if args.fg:
         algo = get_algorithm(
@@ -271,6 +370,27 @@ def tracking_run(argv=None):
         )()
     else:
         algo = get_algorithm(args.bgs_type)()
+
+    # generic prefix:Param=value forwarding into each module's config
+    # (set_params parity, trackingMain.cpp:308-345,624-676)
+    from tracking_tpu.track.tracker import TrackerConfig
+
+    trk_cfg = TrackerConfig()
+    upd = _apply_module_params(
+        mod_params,
+        {
+            "fg": (args.fg or type(algo).__name__, algo.config),
+            "bd": (args.bd, trk_cfg),
+            "bt": (args.bt, trk_cfg),
+            "btpp": (args.btpp, trk_cfg),
+            "bta": (args.bta, trk_cfg),
+        },
+    )
+    if "fg" in upd:
+        algo = type(algo)(algo.config.replace(**upd["fg"]))
+    for pfx in ("bd", "bt", "btpp", "bta"):
+        if pfx in upd:
+            trk_cfg = trk_cfg.replace(**upd[pfx])
     if args.log:
         import dataclasses as _dc
 
@@ -279,27 +399,43 @@ def tracking_run(argv=None):
             fh.write(f"module: {type(algo).__name__}\n")
             for f in _dc.fields(algo.config):
                 fh.write(f"  {f.name}={getattr(algo.config, f.name)}\n")
-    tracker = BlobTracker(trackerType=args.bt, blobDetector=args.bd)
+    tracker = BlobTracker(
+        trk_cfg.replace(trackerType=args.bt, blobDetector=args.bd)
+    )
     src = VideoSource(input_file=args.video)
 
     body = make_step_fn(algo)
+    fg_train = int(args.FGTrainFrames)
 
     @jax.jit
-    def run_chunk(bgs_state, trk_state, frames):
-        def step(carry, frame):
+    def run_chunk(bgs_state, trk_state, frames, start_idx):
+        def step(carry, xs):
             bgs_state, trk_state = carry
+            frame, idx = xs
             bgs_state, fg = body(bgs_state, frame)
-            trk_state, tracks = tracker.step(trk_state, fg, frame)
+            if fg_train:
+                # FGTrainFrames: the FG detector trains alone for the first
+                # N frames; the tracker engages after (trackingMain.cpp:611)
+                trk_state, tracks = jax.lax.cond(
+                    idx >= fg_train,
+                    lambda ts: tracker.step(ts, fg, frame),
+                    lambda ts: (ts, tracker.empty_tracks(ts)),
+                    trk_state,
+                )
+            else:
+                trk_state, tracks = tracker.step(trk_state, fg, frame)
             return (bgs_state, trk_state), (fg, tracks)
 
+        idxs = start_idx + jnp.arange(frames.shape[0])
         (bgs_state, trk_state), (fgs, tracks) = jax.lax.scan(
-            step, (bgs_state, trk_state), frames
+            step, (bgs_state, trk_state), (frames, idxs)
         )
         return bgs_state, trk_state, fgs, tracks
 
     bgs_state = None
     trk_state = tracker.init()
     recorder = TrackRecorder()
+    ana = None
     fg_out = bt_out = None
     n = 0
     t0 = time.perf_counter()
@@ -308,6 +444,15 @@ def tracking_run(argv=None):
         if bgs_state is None:
             h, w = chunk.shape[1:3]
             frame_hw = (h, w)
+            # online per-frame trajectory analysis (trackingMain.cpp:219-297:
+            # the legacy analyzers run per frame with a drawable state);
+            # bta_data= persists the learned database across runs
+            import os as _os
+
+            ana = make_analysis(args.bta, w, h)
+            if ana is not None and args.bta_data and _os.path.exists(args.bta_data):
+                ana.load_data(args.bta_data)
+                print(f"bta_data: loaded analysis database from {args.bta_data}")
             bgs_state = algo.init(h, w, chunk.shape[3] if chunk.ndim == 4 else 1)
             if args.loadstate:
                 from tracking_tpu.core.checkpoint import load_state
@@ -319,13 +464,19 @@ def tracking_run(argv=None):
             else:
                 bgs_state = jax.jit(algo.warm_start)(bgs_state, jnp.asarray(chunk[0]))
         bgs_state, trk_state, fgs, tracks = run_chunk(
-            bgs_state, trk_state, jnp.asarray(chunk)
+            bgs_state, trk_state, jnp.asarray(chunk), jnp.int32(n)
         )
         fgs = np.asarray(fgs)
         tr_np = jax.tree_util.tree_map(np.asarray, tracks)
         for i in range(len(fgs)):
             frame_tracks = jax.tree_util.tree_map(lambda a: a[i], tr_np)
             recorder.record(n + i, frame_tracks, raw=args.btpp == "None")
+            # per-frame online analysis state (trackingMain.cpp:219-297):
+            # scores of the live tracks vs the model learned so far
+            scores = {}
+            if ana is not None:
+                ana.add_frame(n + i, frame_tracks, raw=args.btpp == "None")
+                scores = ana.frame_scores()
             if args.fgavi:
                 if fg_out is None:
                     fg_out = _writer(args.fgavi, 30.0, (fgs.shape[2], fgs.shape[1]))
@@ -334,18 +485,25 @@ def tracking_run(argv=None):
                 img = chunk[i].copy()
                 act = frame_tracks.active
                 for k in np.nonzero(act)[0]:
+                    tid = int(frame_tracks.ids[k])
                     x, y = frame_tracks.x[k], frame_tracks.y[k]
                     w2, h2 = frame_tracks.w[k] / 2, frame_tracks.h[k] / 2
+                    # legacy draw: abnormal tracks turn red
+                    # (trackingMain.cpp:219-297 draws the analyser state)
+                    abn = ana is not None and ana.is_abnormal(
+                        scores.get(tid, 0.0)
+                    )
+                    color = (0, 0, 255) if abn else (0, 255, 0)
                     cv2.rectangle(
                         img,
                         (int(x - w2), int(y - h2)),
                         (int(x + w2), int(y + h2)),
-                        (0, 255, 0),
+                        color,
                         1,
                     )
                     cv2.putText(
                         img,
-                        str(int(frame_tracks.ids[k])),
+                        str(tid),
                         (int(x), int(y)),
                         cv2.FONT_HERSHEY_PLAIN,
                         1.0,
@@ -356,10 +514,16 @@ def tracking_run(argv=None):
                 bt_out.write(img)
             if not args.quiet:
                 act = frame_tracks.active
-                blobs = [
-                    f"id={int(frame_tracks.ids[k])} ({frame_tracks.x[k]:.0f},{frame_tracks.y[k]:.0f})"
-                    for k in np.nonzero(act)[0]
-                ]
+                blobs = []
+                for k in np.nonzero(act)[0]:
+                    tid = int(frame_tracks.ids[k])
+                    mark = (
+                        "!" if ana is not None
+                        and ana.is_abnormal(scores.get(tid, 0.0)) else ""
+                    )
+                    blobs.append(
+                        f"id={tid}{mark} ({frame_tracks.x[k]:.0f},{frame_tracks.y[k]:.0f})"
+                    )
                 if blobs:
                     print(f"frame {n + i}: " + " ".join(blobs))
         n += len(fgs)
@@ -372,17 +536,26 @@ def tracking_run(argv=None):
 
         save_state(args.savestate, {"bgs": bgs_state, "trk": trk_state})
     if args.track:
-        if args.track.endswith(".yml") or args.track.endswith(".yaml"):
+        # btgen= module selection (trackingMain.cpp:505-516); default YML,
+        # with the file extension as a fallback heuristic
+        gen = args.btgen or (
+            "RawTracks" if args.track.endswith(".csv") else "YML"
+        )
+        if gen == "YML":
             recorder.save_yml(args.track)
         else:
             recorder.save_csv(args.track)
-    if frame_hw and recorder.rows:
-        ana = make_analysis(args.bta, frame_hw[1], frame_hw[0])
-        if ana is not None:
-            ana.update(recorder)
-            scores = ana.abnormality(recorder)
-            for tid, s in sorted(scores.items()):
-                print(f"track {tid}: abnormality={s:.2f} ({args.bta})")
+    if ana is not None:
+        # fold still-live tracks, then the end-of-run summary scores every
+        # track against the final model (the online loop already printed /
+        # drew the per-frame state)
+        ana.finish()
+        for tid, s in sorted(ana.abnormality(recorder).items()):
+            mark = " ABNORMAL" if ana.is_abnormal(s) else ""
+            print(f"track {tid}: abnormality={s:.2f} ({args.bta}){mark}")
+        if args.bta_data:
+            ana.save_data(args.bta_data)
+            print(f"bta_data: saved analysis database to {args.bta_data}")
     print(f"tracking: {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps)")
     return 0
 

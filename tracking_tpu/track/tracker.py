@@ -18,6 +18,15 @@ masks) so every step is static-shaped; association is a greedy argmin over the
 [K, B] cost matrix run K times inside a ``fori_loop`` (K, B ≤ 64 — tiny).
 The whole step is jit/vmap/scan-safe, so tracking runs on-device fused with
 the BGS scan.
+
+Where the CCMSPF approximation breaks vs the legacy particle filter:
+identity through a crossing is carried by Kalman velocity plus mask-space
+mean-shift refinement (tests/test_track.py::test_ccmspf_keeps_ids_through_
+crossing proves the canonical two-object crossing). The legacy resolver
+weights per-track particle sets by an appearance likelihood, so it can
+additionally hold identities through LONG occlusions (many merged frames)
+or matched-speed same-path crossings, where any appearance-free predictor —
+including this one — may swap labels.
 """
 
 from __future__ import annotations
@@ -120,6 +129,17 @@ class BlobTracker:
             cfg = cfg.replace(**kw)
         self.config = cfg
         self.kparams = kalman.default_params()
+
+    def empty_tracks(self, state: TrackTable) -> Tracks:
+        """All-inactive per-frame output with the step's shapes/dtypes (the
+        FGTrainFrames phase emits this while the FG detector trains alone)."""
+        K = self.config.maxTracks
+        z = jnp.zeros(K, jnp.float32)
+        return Tracks(
+            active=jnp.zeros(K, bool),
+            ids=jnp.full(K, -1, jnp.int32),
+            x=z, y=z, w=z, h=z, rx=z, ry=z, rw=z, rh=z,
+        )
 
     def init(self) -> TrackTable:
         K = self.config.maxTracks
