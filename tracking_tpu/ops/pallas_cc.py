@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BH, BW = 16, 256
+BH, BW = 64, 256
 
 
 def _shift(a, k, axis, fill, interp):

@@ -82,11 +82,15 @@ def _popcount32(v):
 
 
 def _pack16(bits):
-    """[16, bh, bw] bool → i32 packed."""
-    acc = jnp.zeros(bits.shape[1:], jnp.int32)
-    for k in range(16):
-        acc = acc | (bits[k].astype(jnp.int32) << k)
-    return acc
+    """[16, bh, bw] bool → i32 packed (binary-tree combine: 15 shift|or pairs
+    instead of the 16-step serial accumulate — half the vector ops and a
+    shorter dependency chain)."""
+    vs = [bits[k].astype(jnp.int32) for k in range(16)]
+    sh = 1
+    while len(vs) > 1:
+        vs = [vs[i] | (vs[i + 1] << sh) for i in range(0, len(vs), 2)]
+        sh *= 2
+    return vs[0]
 
 
 def _thr_closed_form(v, delta, rel, div, hi_const):
@@ -97,36 +101,75 @@ def _thr_closed_form(v, delta, rel, div, hi_const):
     ).astype(jnp.int32)
 
 
+class _ViewCache:
+    """Memoized shifted-tile views V(y, x) = P(y+sy, x+sx) over a 9-block
+    neighborhood, |sy|,|sx| ≤ 2.
+
+    The naive per-view construction (roll center + re-roll the vertical
+    neighbor for the row fix-up + the same again per horizontal column)
+    costs ~12-18 vector ops PER VIEW and was recomputed from scratch for
+    each of the 16 LBSP offsets × C channels plus the 24 spread offsets ×
+    (1+C) channels. Factoring the vertical resolve — R[(sy, dj)] = block
+    column dj shifted by sy with wrapped rows patched from the (di=∓1, dj)
+    blocks — lets all views of one (channel, sy) share it: each view is
+    then one horizontal roll + ≤2 edge patches (~3-5 ops), and identical
+    (sy, sx) requests (the fire test and the value pick both read channel
+    0's views) are returned from cache outright. Pure vector ops, no HBM
+    traffic, no unaligned lane slicing (which trips Mosaic layout bugs; see
+    pallas_fill)."""
+
+    def __init__(self, get_blk, interp):
+        self.get_blk = get_blk
+        self.interp = interp
+        self._vcache = {}
+        self._cache = {}
+        self._i0 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
+        self._i1 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
+
+    def _vres(self, sy, dj):
+        key = (sy, dj)
+        if key in self._vcache:
+            return self._vcache[key]
+        if sy == 0:
+            v = self.get_blk(0, dj)
+        else:
+            c_ = _roll(self.get_blk(0, dj), -sy, 0, self.interp)
+            if sy < 0:
+                v = jnp.where(
+                    self._i0 < -sy,
+                    _roll(self.get_blk(-1, dj), -sy, 0, self.interp), c_,
+                )
+            else:
+                v = jnp.where(
+                    self._i0 >= BH - sy,
+                    _roll(self.get_blk(1, dj), -sy, 0, self.interp), c_,
+                )
+        self._vcache[key] = v
+        return v
+
+    def view(self, sy, sx):
+        """V(y, x) = P(y+sy, x+sx)."""
+        key = (sy, sx)
+        if key in self._cache:
+            return self._cache[key]
+        base = self._vres(sy, 0)
+        v = _roll(base, -sx, 1, self.interp) if sx else base
+        if sx < 0:
+            v = jnp.where(
+                self._i1 < -sx, _roll(self._vres(sy, -1), -sx, 1, self.interp), v
+            )
+        elif sx > 0:
+            v = jnp.where(
+                self._i1 >= BW - sx, _roll(self._vres(sy, 1), -sx, 1, self.interp), v
+            )
+        self._cache[key] = v
+        return v
+
+
 def _nb_views(get_blk, interp):
-    """16 LBSP neighbor views of the center tile, V_k(y, x) = P(y+dy_k, x+dx_k).
-
-    ``get_blk(di, dj)`` returns the i32 tile at block offset (di, dj) ∈
-    {−1, 0, 1}². Each view is a roll of the center block with the wrapped
-    rows/columns replaced (iota masks) by identically-rolled neighbor
-    blocks — pure vector ops, no HBM traffic, no unaligned lane slicing
-    (which trips Mosaic layout bugs; see pallas_fill)."""
-    i0 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
-    i1 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
-    views = []
-    for dx, dy in lbsp.OFFSETS:
-        def roll2(b):
-            return _roll(_roll(b, -dy, 0, interp), -dx, 1, interp)
-
-        def rowres(dj):
-            c_ = roll2(get_blk(0, dj))
-            if dy < 0:
-                return jnp.where(i0 < -dy, roll2(get_blk(-1, dj)), c_)
-            if dy > 0:
-                return jnp.where(i0 >= BH - dy, roll2(get_blk(1, dj)), c_)
-            return c_
-
-        v = rowres(0)
-        if dx < 0:
-            v = jnp.where(i1 < -dx, rowres(-1), v)
-        elif dx > 0:
-            v = jnp.where(i1 >= BW - dx, rowres(1), v)
-        views.append(v)
-    return views
+    """16 LBSP neighbor views of the center tile, V_k(y, x) = P(y+dy_k, x+dx_k)."""
+    vc = _ViewCache(get_blk, interp)
+    return [vc.view(dy, dx) for dx, dy in lbsp.OFFSETS]
 
 
 def _pad_plane_blocks(p, Hp, Wp):
@@ -221,32 +264,6 @@ def interior_rep(a, border: int = 2):
     return jnp.pad(a[border:-border, border:-border], border, mode="edge")
 
 
-def _view(get_blk, dx, dy, interp):
-    """Tile view V(p) = P(p − (dx, dy)) from the 9-block neighborhood
-    (single-offset version of :func:`_nb_views`)."""
-    sy, sx = -dy, -dx  # V(y, x) = P(y + sy, x + sx)
-    i0 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
-    i1 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
-
-    def roll2(b):
-        return _roll(_roll(b, -sy, 0, interp), -sx, 1, interp)
-
-    def rowres(dj):
-        c_ = roll2(get_blk(0, dj))
-        if sy < 0:
-            return jnp.where(i0 < -sy, roll2(get_blk(-1, dj)), c_)
-        if sy > 0:
-            return jnp.where(i0 >= BH - sy, roll2(get_blk(1, dj)), c_)
-        return c_
-
-    v = rowres(0)
-    if sx < 0:
-        v = jnp.where(i1 < -sx, rowres(-1), v)
-    elif sx > 0:
-        v = jnp.where(i1 >= BW - sx, rowres(1), v)
-    return v
-
-
 def _apply_pending_stage(
     C, N, ctrl, own_vals, pend_blk, col_in, desc_in, col_out, desc_out, interp
 ):
@@ -260,15 +277,24 @@ def _apply_pending_stage(
     color|desc). pend_blk(c, di, dj): i32 block view of the interior-
     replicated packed values. Write precedence matches the sequential
     reference: the neighbor spread (second loop) wins over the self write
-    on a same-slot collision. Returns the C bg sums ([BH, BW] i32)."""
+    on a same-slot collision. Returns the C bg sums ([BH, BW] i32).
+
+    Negative result (measured, don't retry): tile-level lax.cond skips of
+    the fire/pick/write stages benched 123.6 vs 125.9 fps — at 4096 px per
+    tile, P(no stochastic write anywhere in a tile) ≈ (1−1/T)^8192 ≈ 0, so
+    the skips never fire and the probes are pure overhead. Per-pixel
+    sparsity does NOT translate to tile sparsity at this tile size. The
+    win here is the shared :class:`_ViewCache` instead."""
     upd1, slot1, u3, u5, slot3, slot5 = unpack_pending_ctrl(ctrl)
+    vcs = [_ViewCache(partial(pend_blk, c), interp) for c in range(C)]
 
     # -- spread pick: fire tests, then one unified value pick ---------------
+    # _view semantics V(y,x) = P(y−dy, x−dx)  →  cache key (sy, sx) = (−dy, −dx)
     f = jnp.bool_(False)
     ok3 = jnp.full((BH, BW), f)
     ok5 = jnp.full((BH, BW), f)
     for k, (dx, dy) in enumerate(NB5):
-        fv = _view(partial(pend_blk, 0), dx, dy, interp) >> 24
+        fv = vcs[0].view(-dy, -dx) >> 24
         if k in NB3_IN_NB5:
             ok3 = ok3 | ((u3 == k) & ((fv & 1) != 0))
         ok5 = ok5 | ((u5 == k) & ((fv & 2) != 0))
@@ -280,9 +306,7 @@ def _apply_pending_stage(
     for k, (dx, dy) in enumerate(NB5):
         sel = u == k
         for c in range(C):
-            nbv[c] = jnp.where(
-                sel, _view(partial(pend_blk, c), dx, dy, interp), nbv[c]
-            )
+            nbv[c] = jnp.where(sel, vcs[c].view(-dy, -dx), nbv[c])
     nb_col = [(v & 0xFF).astype(col_in[0].dtype) for v in nbv]
     nb_desc = [((v >> 8) & 0xFFFF).astype(desc_in[0].dtype) for v in nbv]
 
@@ -299,9 +323,8 @@ def _apply_pending_stage(
             cur = col_in[c][j]
             newc = jnp.where(w2, nb_col[c], jnp.where(w1, own_col[c], cur))
             col_out[c][j] = newc
-            curd = desc_in[c][j]
             desc_out[c][j] = jnp.where(
-                w2, nb_desc[c], jnp.where(w1, own_desc[c], curd)
+                w2, nb_desc[c], jnp.where(w1, own_desc[c], desc_in[c][j])
             )
             out.append(bg[c] + newc.astype(jnp.int32))
         return tuple(out)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BH, BW = 16, 256
+BH, BW = 64, 256
 
 
 def _roll(a, k, axis, interp):
