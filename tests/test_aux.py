@@ -201,3 +201,54 @@ def test_bgs_run_cli_end_to_end(tmp_path):
          "--chunk", "8", "--compare", "--imgref", ref_png, "--stopAt", "0"]
     )
     assert rc == 0
+
+
+def test_roc_threshold_search_matches_reference_loop(tmp_path):
+    """roc_threshold_search/save_roc_file vs a direct transliteration of
+    PerformanceUtils::ImageROC's saveResults branch
+    (tb/PerformanceUtils.cpp:345-457), including its raster-order
+    running-counter quirk."""
+    import numpy as np
+    from tracking_tpu.analysis import roc_threshold_search, save_roc_file
+
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 8, (24, 32)) * 36).astype(np.uint8)  # few levels
+    gt = (rng.random((24, 32)) < 0.4).astype(np.uint8) * 255
+
+    # -- reference transliteration: per-pixel scan, global running counters
+    freq = np.zeros((256, 7))
+    nTP = nTN = nFP = nFN = 0.0
+    for y in range(img.shape[0]):
+        for x in range(img.shape[1]):
+            gv, iv = gt[y, x], img[y, x]
+            if gv != 0 and iv != 0:
+                nTP += 1; freq[iv, 0] = nTP
+            elif gv == 0 and iv == 0:
+                nTN += 1; freq[iv, 1] = nTN
+            elif gv == 0 and iv != 0:
+                nFP += 1; freq[iv, 2] = nFP
+            else:
+                nFN += 1; freq[iv, 3] = nFN
+    ours = roc_threshold_search(img, gt)
+    assert np.array_equal(ours[:, :4], freq[:, :4])
+
+    out = str(tmp_path / "roc.txt")
+    save_roc_file(img, gt, out)
+    lines = open(out).read().splitlines()
+    assert lines[0].startswith("  I     TP     TN     FP     FN")
+    rows = [ln for ln in lines[2:] if ln.strip()]
+    # rows only where both denominators are nonzero; check one numerically
+    i, tp, tn, fp, fn, fpr, fnr, dr = rows[0].split()
+    i = int(i)
+    assert float(tp) == freq[i, 0] and float(fn) == freq[i, 3]
+    assert abs(float(dr) - freq[i, 0] / (freq[i, 0] + freq[i, 3])) < 1e-6
+
+
+def test_image_roc_coding():
+    import numpy as np
+    from tracking_tpu.analysis import image_roc
+
+    pred = np.array([[0, 255], [255, 0]], np.uint8)
+    gt = np.array([[0, 255], [0, 255]], np.uint8)
+    out = np.asarray(image_roc(pred, gt))
+    assert out.tolist() == [[0, 30], [255, 100]]

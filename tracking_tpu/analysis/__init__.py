@@ -3,4 +3,7 @@ from tracking_tpu.analysis.metrics import (  # noqa: F401
     confusion_counts,
     precision_recall_fscore,
     roc_curve,
+    image_roc,
+    roc_threshold_search,
+    save_roc_file,
 )

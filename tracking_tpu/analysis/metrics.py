@@ -49,6 +49,72 @@ def precision_recall_fscore(pred: jnp.ndarray, ref: jnp.ndarray):
     return precision, recall, f1
 
 
+def image_roc(pred: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Coded confusion image (PerformanceUtils::ImageROC display path,
+    tb/PerformanceUtils.cpp:298-341): TP=30, TN=0, FP=255, FN=100 (u8)."""
+    p, g = _as_bool(pred), _as_bool(ref)
+    return jnp.where(
+        p & g, jnp.uint8(30),
+        jnp.where(p & ~g, jnp.uint8(255), jnp.where(~p & g, jnp.uint8(100), jnp.uint8(0))),
+    )
+
+
+def roc_threshold_search(score_img, ref):
+    """Per-intensity TP/TN/FP/FN table of PerformanceUtils::ImageROC's
+    saveResults branch (tb/PerformanceUtils.cpp:345-457), vectorized.
+
+    The reference walks pixels in raster order keeping four *global* running
+    counters and stores the running value into ``freq[intensity][class]`` at
+    every pixel — so ``freq[i][c]`` ends up being the cumulative class-c
+    count at the last raster position of a class-c pixel with intensity
+    ``i`` (an ordering quirk, reproduced here exactly: cumsum per class +
+    last-occurrence selection instead of the reference's O(H·W·256) scan).
+
+    Returns an [256, 7] float array with columns TP, TN, FP, FN, FNR, FPR,
+    DR (freq layout, PerformanceUtils.cpp:404-433); rows whose denominators
+    are zero keep zero rates exactly like the reference leaves them unset.
+    """
+    import numpy as np
+
+    img = np.asarray(score_img, dtype=np.uint8).reshape(-1)
+    g = np.asarray(ref).reshape(-1) != 0
+    p = img != 0
+    cls = np.where(p & g, 0, np.where(~p & ~g, 1, np.where(p & ~g, 2, 3)))
+    freq = np.zeros((256, 7), np.float64)
+    for c in range(4):
+        pos = np.nonzero(cls == c)[0]
+        if pos.size == 0:
+            continue
+        cum = np.arange(1, pos.size + 1, dtype=np.float64)
+        inten_rev = img[pos][::-1]
+        u, first_rev = np.unique(inten_rev, return_index=True)
+        freq[u, c] = cum[::-1][first_rev]
+    tp, tn, fp, fn = freq[:, 0], freq[:, 1], freq[:, 2], freq[:, 3]
+    ok = ((fn + tp) != 0) & ((fp + tn) != 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        freq[ok, 4] = fn[ok] / (fn[ok] + tp[ok])  # FNR
+        freq[ok, 5] = fp[ok] / (fp[ok] + tn[ok])  # FPR
+        freq[ok, 6] = tp[ok] / (tp[ok] + fn[ok])  # DR
+    return freq
+
+
+def save_roc_file(score_img, ref, filename: str) -> None:
+    """Write the reference's ROC threshold-search table
+    (tb/PerformanceUtils.cpp:407-447): header + one ``%3d %6.0f ×4 %1.6f ×3``
+    line per intensity with nonzero denominators, columns I TP TN FP FN FPR
+    FNR DR."""
+    freq = roc_threshold_search(score_img, ref)
+    with open(filename, "w") as f:
+        f.write("  I     TP     TN     FP     FN    FPR      FNR      DR   \n\n")
+        for i in range(256):
+            tp, tn, fp, fn = freq[i, :4]
+            if (fn + tp != 0.0) and (fp + tn != 0.0):
+                f.write(
+                    "%3d %6.0f %6.0f %6.0f %6.0f %1.6f %1.6f %1.6f\n"
+                    % (i, tp, tn, fp, fn, freq[i, 5], freq[i, 4], freq[i, 6])
+                )
+
+
 def roc_curve(score_img: jnp.ndarray, ref: jnp.ndarray, num_thresholds: int = 256):
     """TPR/FPR sweep over u8 thresholds (PerformanceUtils::ImageROC analog).
 
