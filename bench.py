@@ -114,19 +114,69 @@ def main():
         elapsed = time.perf_counter() - start
         best_fps = max(best_fps, t_chunk * streams / elapsed)
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"720p_bgs{'_tracking' if with_tracking else ''}"
-                    f"_fps_per_chip[{algo.name}x{streams}]"
-                ),
-                "value": round(best_fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(best_fps / NORTH_STAR_FPS, 4),
-            }
+    record = {
+        "metric": (
+            f"720p_bgs{'_tracking' if with_tracking else ''}"
+            f"_fps_per_chip[{algo.name}x{streams}]"
+        ),
+        "value": round(best_fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(best_fps / NORTH_STAR_FPS, 4),
+    }
+    if os.environ.get("BENCH_QUALITY", "1") != "0":
+        q = quality(algo)
+        if q:
+            record.update(q)
+    print(json.dumps(record))
+
+
+def quality(algo, n: int = 130):
+    """Full-pipeline quality vs the reference implementation (BASELINE
+    north-star accuracy + benchmark config 5): the flagship's masks on
+    dataset/video.avi scored against the compiled-in-place reference C++
+    (tests/oracle/subsense_oracle) with the similarity measure of
+    ForegroundMaskAnalysis.cpp:57-69 (IoU) and fet.py:93-103 (F-score,
+    reference masks as GT). Mean over frames with nonempty union."""
+    import subprocess
+    import tempfile
+
+    import jax.numpy as jnp
+
+    oracle = os.path.join(os.path.dirname(__file__), "tests", "oracle", "subsense_oracle")
+    video = "/root/reference/dataset/video.avi"
+    if not (os.path.exists(oracle) and os.path.exists(video)):
+        return None
+    import cv2
+
+    from tracking_tpu.io.video import read_video
+    from tracking_tpu.runner.scan import run_video
+
+    with tempfile.TemporaryDirectory() as tmp:
+        subprocess.run(
+            [oracle, "subsense", video, tmp, str(n)], check=True, capture_output=True
         )
-    )
+        ref = np.stack(
+            [cv2.imread(os.path.join(tmp, f"mask_{i:04d}.png"), 0) for i in range(n)]
+        )
+    frames = read_video(video, max_frames=n)
+    _, masks = run_video(algo, jnp.asarray(frames))
+    pred = np.asarray(masks) > 0
+    gt = ref > 0
+    inter = (pred & gt).sum((1, 2), dtype=np.float64)
+    union = (pred | gt).sum((1, 2), dtype=np.float64)
+    live = union > 0
+    iou = float((inter[live] / union[live]).mean()) if live.any() else 1.0
+    tp = inter.sum()
+    fp = (pred & ~gt).sum(dtype=np.float64)
+    fn = (~pred & gt).sum(dtype=np.float64)
+    prec = tp / max(tp + fp, 1.0)
+    rec = tp / max(tp + fn, 1.0)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+    return {
+        "quality_iou_vs_ref": round(iou, 4),
+        "quality_fscore_vs_ref": round(float(f1), 4),
+        "quality_agreement": round(float((pred == gt).mean()), 5),
+    }
 
 
 if __name__ == "__main__":
