@@ -120,6 +120,29 @@ def main():
         finally:
             PC.consensus_pallas = real
 
+    if "walk0" in which or "walk50" in which:
+        # isolate the sample-walk cost: required=0 exits every tile before
+        # sample 0 (kernel cost = DMA + pending-apply + views/intra only);
+        # required=N+1 never exits (worst-case full-N walk every tile).
+        import tracking_tpu.ops.pallas_consensus as PC
+
+        real = PC.consensus_pallas
+        for name, req_val in (("walk0", 0), ("walk50", 99)):
+            if name not in which:
+                continue
+
+            def forced(planes, colors, descs, pend_ctrl, pend_vals, lut_delta,
+                       R, unstable, required, _rv=req_val, **kw):
+                return real(planes, colors, descs, pend_ctrl, pend_vals,
+                            lut_delta, R, unstable, _rv, **kw)
+
+            PC.consensus_pallas = forced
+            try:
+                bodyw = make_step_fn(_flagship())
+                measure_scan(bodyw, state0, frames, f"BGS required={req_val}")
+            finally:
+                PC.consensus_pallas = real
+
     if "fill" in which:
         # lbsp_family binds fill_holes at import time — stub its module global
         import tracking_tpu.bgs.lbsp_family as LF

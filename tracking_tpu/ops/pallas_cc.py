@@ -219,10 +219,39 @@ def label_components_pallas(
         )
         return lab
 
+    def at_fixed_point(lab):
+        """Exact global fixed-point test, in plain XLA (~no cost next to a
+        raster pass): labels are at the fixed point iff no fg pixel has a
+        connected neighbor with a smaller label — every in-kernel sweep
+        (run min-scans included) only moves labels between adjacent fg
+        pixels, so the neighbor condition implies nothing can decrease.
+        Replaces the old confirm-by-identical-round, which re-dispatched
+        two full raster passes per frame just to observe no change."""
+        m = jnp.where(lab >= bigp, bigp, 0)
+        best = lab
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy == 0 and dx == 0) or (not conn8 and dy != 0 and dx != 0):
+                    continue
+                s = jnp.roll(lab, (dy, dx), (0, 1))
+                iy = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
+                ix = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 1)
+                oob = jnp.zeros_like(lab, jnp.bool_)
+                if dy > 0:
+                    oob |= iy < dy
+                elif dy < 0:
+                    oob |= iy >= lab.shape[0] + dy
+                if dx > 0:
+                    oob |= ix < dx
+                elif dx < 0:
+                    oob |= ix >= lab.shape[1] + dx
+                best = jnp.minimum(best, jnp.where(oob, bigp, s))
+        return ~jnp.any(jnp.minimum(best + m, bigp) < lab)
+
     def body(state):
         lab, _, it = state
         new = round_(lab, it)
-        return new, jnp.any(new != lab), it + 1
+        return new, ~at_fixed_point(new), it + 1
 
     def cond(state):
         return state[1] & (state[2] < 16)

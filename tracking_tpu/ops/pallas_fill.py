@@ -206,10 +206,32 @@ def flood_reach_pallas(bg, reach0, interpret: bool = False):
         )
         return r
 
+    def at_fixed_point(r):
+        """Exact fixed-point test in plain XLA: reachability is stable iff
+        no unreached background pixel has a reached 4-neighbor (the kernel
+        sweeps are compositions of single-pixel 4-neighbor propagations).
+        Replaces the confirm-by-identical-round, which cost two extra full
+        raster passes per frame."""
+        grow = jnp.zeros_like(r)
+        iy = jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            s = jnp.roll(r, (dy, dx), (0, 1))
+            if dy > 0:
+                s = jnp.where(iy < dy, 0, s)
+            elif dy < 0:
+                s = jnp.where(iy >= r.shape[0] + dy, 0, s)
+            if dx > 0:
+                s = jnp.where(ix < dx, 0, s)
+            elif dx < 0:
+                s = jnp.where(ix >= r.shape[1] + dx, 0, s)
+            grow = grow | s
+        return ~jnp.any((bg_p & (r == 0) & grow) != 0)
+
     def body(state):
         r, _, it = state
         r2 = round_(r, it)
-        return r2, jnp.any(r2 != r), it + 1
+        return r2, ~at_fixed_point(r2), it + 1
 
     def cond(state):
         return state[1] & (state[2] < 8)
