@@ -58,9 +58,38 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from tracking_tpu.ops import lbsp
 from tracking_tpu.ops.pallas_fill import _roll
 
+# Profiling knob (tools/profile_stages.py): "1" replaces the pending-apply
+# stage with a bank copy + bg accumulation (isolates the fire/pick + select
+# cost); "2" additionally skips the bg accumulation (pure copy floor).
+# Masks are wrong under either — never set outside profiling. Measured
+# (720p color, settling window): required=0 floor 2.75 ms BGS-step under
+# all three variants — the apply-stage compute is free next to the bank
+# DMA + slot copy loop.
+_NULL_APPLY = int(os.environ.get("TRACKING_TPU_NULL_APPLY", "0"))
+
+# Tile shape. Negative results (measured, don't retry):
+#   - sliced walk (independent early-exit per 8-sublane slice of the tile):
+#     6.01 vs 5.84 ms BGS step — blobs span the full 16-row tile height, so
+#     row slices never separate foreground stragglers from background lanes
+#     and the slice machinery is pure overhead.
+#   - tiles (32,128), same 4-vreg op width but finer horizontal early-exit
+#     granularity: 7.74 vs 5.84 ms — short 128-lane rows cost more in DMA /
+#     roll efficiency than the finer exit granularity buys.
+#   - resolving the spread fire/pick OUTSIDE the kernel in XLA (ship a
+#     packed per-pixel write plan + C resolved value maps instead of the
+#     9 halo'd i32 block views per channel): 6.44 vs 5.84 ms — the 24
+#     shifted-view select chains fuse poorly as an XLA prologue, costing
+#     more than the ~97 MB/frame of block-view DMA they remove (in-kernel
+#     the same picks ride the shared _ViewCache for ~free).
+#   - a pure bank-copy kernel on a tile-major contiguous [nH, nW, N, BH, BW]
+#     bank layout measured 1.06 vs 1.20 ms/frame for the [N, H, W] strided
+#     blocks — the strided-DMA penalty is only ~0.13 ms/frame, not worth a
+#     state-layout fork between backends.
 BH, BW = 16, 256
 
 
@@ -285,6 +314,24 @@ def _apply_pending_stage(
     the skips never fire and the probes are pure overhead. Per-pixel
     sparsity does NOT translate to tile sparsity at this tile size. The
     win here is the shared :class:`_ViewCache` instead."""
+    if _NULL_APPLY:
+
+        def copy_body(j, bg):
+            out = []
+            for c in range(C):
+                cur = col_in[c][j]
+                col_out[c][j] = cur
+                desc_out[c][j] = desc_in[c][j]
+                out.append(
+                    bg[c] + (cur.astype(jnp.int32) if _NULL_APPLY < 2 else 0)
+                )
+            return tuple(out)
+
+        return jax.lax.fori_loop(
+            0, N, copy_body,
+            tuple(jnp.zeros((BH, BW), jnp.int32) for _ in range(C)),
+        )
+
     upd1, slot1, u3, u5, slot3, slot5 = unpack_pending_ctrl(ctrl)
     vcs = [_ViewCache(partial(pend_blk, c), interp) for c in range(C)]
 
