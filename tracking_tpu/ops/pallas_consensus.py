@@ -90,6 +90,9 @@ _NULL_APPLY = int(os.environ.get("TRACKING_TPU_NULL_APPLY", "0"))
 #     bank layout measured 1.06 vs 1.20 ms/frame for the [N, H, W] strided
 #     blocks — the strided-DMA penalty is only ~0.13 ms/frame, not worth a
 #     state-layout fork between backends.
+# Positive result: vmem_limit_bytes=100MB (Mosaic's 16 MB default budget
+# blocked double-buffering of the ~4.2 MB/tile working set; the physical
+# v5e VMEM is larger): BGS step 5.72 → 5.51 ms.
 BH, BW = 16, 256
 
 
@@ -639,6 +642,9 @@ def consensus_pallas(
         out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
     count, mind, mins = (o[:H, :W] for o in outs[:3])
     intra = tuple(o[:H, :W] for o in outs[3 : 3 + C])
@@ -825,6 +831,9 @@ def consensus_lobster_pallas(
         out_shape=out_shape,
         input_output_aliases={n_bank_in + k: n_map_out + k for k in range(2 * C)},
         interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
     count = outs[0][:H, :W]
     intra = tuple(o[:H, :W] for o in outs[1 : 1 + C])
