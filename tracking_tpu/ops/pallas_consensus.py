@@ -92,7 +92,10 @@ _NULL_APPLY = int(os.environ.get("TRACKING_TPU_NULL_APPLY", "0"))
 #     state-layout fork between backends.
 # Positive result: vmem_limit_bytes=100MB (Mosaic's 16 MB default budget
 # blocked double-buffering of the ~4.2 MB/tile working set; the physical
-# v5e VMEM is larger): BGS step 5.72 → 5.51 ms.
+# v5e VMEM is larger): BGS step 5.72 → 5.51 ms. (16,512) tiles — which the
+# raised budget un-blocks from their old compile failure — measure 10.2 ms:
+# the coarser early-exit granularity costs far more than the better DMA
+# chunking buys.
 BH, BW = 16, 256
 
 
