@@ -25,6 +25,7 @@
 #include <opencv2/videoio.hpp>
 #include <opencv2/core/core_c.h>
 #include <cstdio>
+#include <cstdlib>
 #include <functional>
 #include <string>
 
@@ -36,6 +37,11 @@
 #include "PratiMediodBGS.h"
 #include "Eigenbackground.h"
 #include "T2FGMM.h"
+#include "T2FMRF.h"
+#include "MRF.h"
+#include "FuzzyUtils.h"
+#include "TextureBGS.h"
+#include "sdLaMa091.h"
 #include "BGModelGauss.h"
 #include "BGModelFuzzyGauss.h"
 #include "BGModelMog.h"
@@ -45,6 +51,9 @@
 #include "imbs.hpp"
 
 using namespace Algorithms::BackgroundSubtraction;
+
+// cvFillImage lived in opencv2/legacy/compat.hpp (removed in 4.x)
+static void fill_image(IplImage* im, double v) { cvSet(im, cvScalarAll(v)); }
 
 static void write_mask(const cv::Mat& fg, const std::string& out, int fn) {
   char buf[512];
@@ -151,6 +160,241 @@ static int run_lb(cv::VideoCapture& cap, const std::string& out, int maxf,
     fn++;
   }
   delete m;
+  return 0;
+}
+
+// tb T2FMRF_UM/UV: wrapper sequence per T2FMRF_UM.cpp:46-123 — dp-style
+// Subtract/Clear/Update plus the MRF_TC ICM relaxation of the LOW mask from
+// frame 10 on (the MRF result feeds the conditional model update; the
+// emitted mask is the HIGH threshold mask).
+static int run_t2fmrf(cv::VideoCapture& cap, const std::string& out, int maxf,
+                      bool um) {
+  T2FMRF bgs;
+  T2FMRFParams params;
+  MRF_TC mrf;
+  GMM* gmm;
+  HMM* hmm;
+  BwImage low, high;
+  RgbImage frame_data;
+  IplImage *old_labeling = nullptr, *old_img = nullptr;
+  bool first = true;
+  int fn = 0;
+  cv::Mat frame;
+  while (fn < maxf && cap.read(frame)) {
+    IplImage ipl = cvIplImage(frame);
+    if (first) frame_data.ReleaseMemory(false);
+    frame_data = &ipl;
+    if (first) {
+      int w = frame.cols, h = frame.rows;
+      low = cvCreateImage(cvSize(w, h), IPL_DEPTH_8U, 1);
+      low.Ptr()->origin = IPL_ORIGIN_BL;
+      high = cvCreateImage(cvSize(w, h), IPL_DEPTH_8U, 1);
+      high.Ptr()->origin = IPL_ORIGIN_BL;
+      params.SetFrameSize(w, h);
+      params.LowThreshold() = 9.0f;
+      params.HighThreshold() = 18.0f;
+      params.Alpha() = 0.01f;
+      params.MaxModes() = 3;
+      params.Type() = um ? TYPE_T2FMRF_UM : TYPE_T2FMRF_UV;
+      params.KM() = 2.0f;
+      params.KV() = 0.9f;
+      bgs.Initalize(params);
+      bgs.InitModel(frame_data);
+      old_labeling = cvCreateImage(cvSize(w, h), IPL_DEPTH_8U, 1);
+      old_img = cvCreateImage(cvSize(w, h), IPL_DEPTH_8U, 1);
+      mrf.height = h;
+      mrf.width = w;
+      mrf.Build_Classes_OldLabeling_InImage_LocalEnergy();
+      first = false;
+    }
+    bgs.Subtract(fn, frame_data, low, high);
+    cvCopy(low.Ptr(), old_img);
+    if (fn >= 10) {
+      gmm = bgs.gmm();
+      hmm = bgs.hmm();
+      mrf.background2 = frame_data.Ptr();
+      mrf.in_image = low.Ptr();
+      mrf.out_image = low.Ptr();
+      mrf.InitEvidence2(gmm, hmm, old_labeling);
+      mrf.ICM2();
+      cvCopy(mrf.out_image, low.Ptr());
+    }
+    cvCopy(old_img, old_labeling);
+    low.Clear();
+    bgs.Update(fn, frame_data, low);
+    write_mask(cv::cvarrToMat(high.Ptr()), out, fn);
+    fn++;
+  }
+  return 0;
+}
+
+// tb FuzzySugenoIntegral / FuzzyChoquetIntegral: wrapper sequence per
+// FuzzySugenoIntegral.cpp:31-170 — f32/255 images, adaptive-learn phase for
+// frames 0..framesToLearn (no mask emitted; zeros written to keep frame
+// numbering), then LBP + similarity degrees + fuzzy integral (option 2:
+// 2 color + 1 texture, measure 0.6/0.3/0.1), medianBlur(3), INV threshold
+// 0.67, and adaptive-SELECTIVE background update.
+static int run_fuzzy(cv::VideoCapture& cap, const std::string& out, int maxf,
+                     bool sugeno) {
+  FuzzyUtils fu;
+  const int framesToLearn = 10;
+  const double alphaLearn = 0.1, alphaUpdate = 0.01, threshold = 0.67;
+  const int colorSpace = 1, option = 2;
+  cv::Mat bg_f3;
+  int fn = 0;
+  cv::Mat frame;
+  while (fn < maxf && cap.read(frame)) {
+    cv::Mat in_f3(frame.size(), CV_32F);
+    frame.convertTo(in_f3, CV_32F, 1. / 255.);
+    if (fn <= framesToLearn) {
+      if (bg_f3.empty())
+        in_f3.copyTo(bg_f3);
+      else
+        bg_f3 = alphaLearn * in_f3 + (1 - alphaLearn) * bg_f3;
+      write_mask(cv::Mat::zeros(frame.size(), CV_8U), out, fn);
+      fn++;
+      continue;
+    }
+    cv::Mat in_f1, bg_f1;
+    cv::cvtColor(in_f3, in_f1, cv::COLOR_BGR2GRAY);
+    cv::cvtColor(bg_f3, bg_f1, cv::COLOR_BGR2GRAY);
+    IplImage input_f3 = cvIplImage(in_f3), input_f1 = cvIplImage(in_f1);
+    IplImage background_f3 = cvIplImage(bg_f3), background_f1 = cvIplImage(bg_f1);
+
+    IplImage* lbp_in = cvCreateImage(cvGetSize(&input_f1), IPL_DEPTH_32F, 1);
+    fill_image(lbp_in, 0.0);
+    fu.LBP(&input_f1, lbp_in);
+    IplImage* lbp_bg = cvCreateImage(cvGetSize(&background_f1), IPL_DEPTH_32F, 1);
+    fill_image(lbp_bg, 0.0);
+    fu.LBP(&background_f1, lbp_bg);
+
+    IplImage* sim_tex = cvCreateImage(cvGetSize(&input_f1), IPL_DEPTH_32F, 1);
+    fu.SimilarityDegreesImage(lbp_in, lbp_bg, sim_tex, 1, colorSpace);
+    IplImage* sim_col = cvCreateImage(cvGetSize(&input_f3), IPL_DEPTH_32F, 3);
+    fu.SimilarityDegreesImage(&input_f3, &background_f3, sim_col, 3, colorSpace);
+
+    float measureG[3];
+    fu.FuzzyMeasureG(0.6f, 0.3f, 0.1f, measureG);  // option 2
+    IplImage* integral = cvCreateImage(cvGetSize(&input_f1), IPL_DEPTH_32F, 1);
+    if (sugeno)
+      fu.getFuzzyIntegralSugeno(sim_tex, sim_col, option, measureG, integral);
+    else
+      fu.getFuzzyIntegralChoquet(sim_tex, sim_col, option, measureG, integral);
+
+    cv::Mat integ = cv::cvarrToMat(integral);
+    cv::medianBlur(integ, integ, 3);
+    cv::Mat fg_f1;
+    cv::threshold(integ, fg_f1, threshold, 255, cv::THRESH_BINARY_INV);
+    cv::Mat fg_u1;
+    fg_f1.convertTo(fg_u1, CV_8U, 255.0);
+    write_mask(fg_u1, out, fn);
+
+    IplImage integ_ipl = cvIplImage(integ);
+    IplImage* upd_bg = cvCreateImage(cvGetSize(&input_f1), IPL_DEPTH_32F, 3);
+    fill_image(upd_bg, 0.0);
+    fu.AdaptativeSelectiveBackgroundModelUpdate(
+        &input_f3, &background_f3, upd_bg, &integ_ipl, threshold, alphaUpdate);
+    cv::cvarrToMat(upd_bg).copyTo(bg_f3);
+
+    cvReleaseImage(&lbp_in);
+    cvReleaseImage(&lbp_bg);
+    cvReleaseImage(&sim_tex);
+    cvReleaseImage(&sim_col);
+    cvReleaseImage(&integral);
+    cvReleaseImage(&upd_bg);
+    fn++;
+  }
+  return 0;
+}
+
+// bl SigmaDelta: wrapper per SigmaDeltaBGS.cpp:20-55 — defaults amp=1,
+// minVar=15, maxVar=255; the first frame only initializes (zeros written),
+// then per-frame sdLaMa091Update with the C3R mask collapsed to one channel.
+static int run_sigma_delta(cv::VideoCapture& cap, const std::string& out,
+                           int maxf) {
+  sdLaMa091_t* alg = sdLaMa091New();
+  sdLaMa091SetAmplificationFactor(alg, 1);
+  sdLaMa091SetMinimalVariance(alg, 15);
+  sdLaMa091SetMaximalVariance(alg, 255);
+  bool first = true;
+  int fn = 0;
+  cv::Mat frame;
+  while (fn < maxf && cap.read(frame)) {
+    if (first) {
+      sdLaMa091AllocInit_8u_C3R(alg, frame.data, frame.cols, frame.rows,
+                                frame.step);
+      write_mask(cv::Mat::zeros(frame.size(), CV_8U), out, fn);
+      first = false;
+      fn++;
+      continue;
+    }
+    cv::Mat tmp(frame.rows, frame.cols, CV_8UC3);
+    sdLaMa091Update_8u_C3R(alg, frame.data, tmp.data);
+    cv::Mat fg(frame.rows, frame.cols, CV_8UC1);
+    const unsigned char* t = tmp.data;
+    unsigned char* o = fg.data;
+    for (size_t i = 0; i < fg.total(); ++i, ++o, t += 3) *o = *t;
+    write_mask(fg, out, fn);
+    fn++;
+  }
+  sdLaMa091Free(alg);
+  return 0;
+}
+
+// dp Texture: wrapper per DPTextureBGS.cpp:39-133 — LBP texture image,
+// per-pixel RGB histograms, BgsCompare at THRESHOLD, mask emitted BEFORE
+// UpdateModel (first frame included; model seeded from frame 0's histograms
+// on every mode).
+static int run_texture(cv::VideoCapture& cap, const std::string& out,
+                       int maxf) {
+  TextureBGS bgs;
+  RgbImage image;
+  BwImage fgMask;
+  RgbImage texture;
+  TextureArray* bgModel = nullptr;
+  unsigned char* modeArray = nullptr;
+  TextureHistogram* curTextureHist = nullptr;
+  bool first = true;
+  int fn = 0;
+  cv::Mat frame;
+  while (fn < maxf && cap.read(frame)) {
+    IplImage ipl = cvIplImage(frame);
+    if (first) {
+      int w = frame.cols, h = frame.rows, size = w * h;
+      image = cvCreateImage(cvSize(w, h), 8, 3);
+      cvCopy(&ipl, image.Ptr());
+      fgMask = cvCreateImage(cvSize(w, h), 8, 1);
+      cvZero(fgMask.Ptr());
+      bgModel = new TextureArray[size];
+      texture = cvCreateImage(cvSize(w, h), 8, 3);
+      cvZero(texture.Ptr());
+      modeArray = new unsigned char[size];
+      curTextureHist = new TextureHistogram[size];
+      bgs.LBP(image, texture);
+      bgs.Histogram(texture, curTextureHist);
+      for (int y = REGION_R + TEXTURE_R; y < h - REGION_R - TEXTURE_R; ++y)
+        for (int x = REGION_R + TEXTURE_R; x < w - REGION_R - TEXTURE_R; ++x) {
+          int index = x + y * w;
+          for (int m = 0; m < NUM_MODES; ++m)
+            for (int i = 0; i < NUM_BINS; ++i) {
+              bgModel[index].mode[m].r[i] = curTextureHist[index].r[i];
+              bgModel[index].mode[m].g[i] = curTextureHist[index].g[i];
+              bgModel[index].mode[m].b[i] = curTextureHist[index].b[i];
+            }
+        }
+      first = false;
+    }
+    cvCopy(&ipl, image.Ptr());
+    bgs.LBP(image, texture);
+    bgs.Histogram(texture, curTextureHist);
+    bgs.BgsCompare(bgModel, curTextureHist, modeArray, THRESHOLD, fgMask);
+    write_mask(cv::cvarrToMat(fgMask.Ptr()), out, fn);
+    bgs.UpdateModel(fgMask, bgModel, curTextureHist, modeArray);
+    fn++;
+  }
+  delete[] bgModel;
+  delete[] modeArray;
+  delete[] curTextureHist;
   return 0;
 }
 
@@ -282,6 +526,12 @@ int main(int argc, char** argv) {
       p.KV() = 0.6f;
     });
   }
+  if (algo == "t2fmrf_um") return run_t2fmrf(cap, out, maxf, true);
+  if (algo == "t2fmrf_uv") return run_t2fmrf(cap, out, maxf, false);
+  if (algo == "fuzzy_sugeno") return run_fuzzy(cap, out, maxf, true);
+  if (algo == "fuzzy_choquet") return run_fuzzy(cap, out, maxf, false);
+  if (algo == "sigma_delta") return run_sigma_delta(cap, out, maxf);
+  if (algo == "texture") return run_texture(cap, out, maxf);
   if (algo.rfind("lb_", 0) == 0) return run_lb(cap, out, maxf, algo);
   if (algo == "vumeter") return run_vumeter(cap, out, maxf);
   if (algo == "imbs") return run_imbs(cap, out, maxf);

@@ -3,6 +3,16 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_cache():
+    """XLA's CPU backend segfaults compiling this module's tracker programs
+    (meanshift vmap / association while_loop) after ~160 other tests have
+    compiled in the same process — reproducibly at the full-suite tail, never
+    standalone. Dropping the accumulated compilation caches avoids it."""
+    jax.clear_caches()
 
 from tracking_tpu.track.kalman import default_params, kalman_init, kalman_predict, kalman_reset_slot, kalman_update
 from tracking_tpu.track.tracker import BlobTracker

@@ -2,10 +2,13 @@
 
 Reference: ``package_bgs/bl/sdLaMa091.cpp`` (C-style). Per byte (each channel
 independently): M ← M ± 1 toward I; O = |M − I|; V ← V ± 1 toward N·O clamped
-[Vmin, Vmax]; FG where O ≥ V (``sdLaMa091.cpp:379-465``). The wrapper feeds
-BGR and keeps every 3rd output byte, i.e. the **blue-channel decision**
-(``bl/SigmaDeltaBGS.cpp:43-51``); the first frame only initializes M = I and
-emits nothing (``SigmaDeltaBGS.cpp:30-36``).
+[Vmin, Vmax]; a channel fires where O ≥ V, and the C3R segmentation pass
+**ORs the three channel decisions into one per-pixel byte** (the
+``isForeground`` accumulator flushed at ``numColor == BLUE``,
+``sdLaMa091.cpp:596-630``). The wrapper keeps every 3rd output byte — all
+three bytes of a pixel carry that same OR (``bl/SigmaDeltaBGS.cpp:43-51``);
+the first frame only initializes M = I and emits nothing
+(``SigmaDeltaBGS.cpp:30-36``).
 """
 
 from __future__ import annotations
@@ -58,8 +61,8 @@ class SigmaDelta(BGSAlgorithm):
         V2 = jnp.clip(V2 & 0xFF, cfg.minVar, cfg.maxVar)
         seg = jnp.where(O.astype(jnp.int32) < V2, jnp.uint8(0), jnp.uint8(255))
 
-        # Channel-0 (blue) decision is the emitted mask; no mask on frame 0.
-        fg = seg[..., 0] if frame.ndim == 3 else seg
+        # Per-pixel OR over the channel decisions; no mask on frame 0.
+        fg = jnp.max(seg, axis=-1) if frame.ndim == 3 else seg
         fg = jnp.where(t == 0, jnp.zeros_like(fg), fg)
 
         new_M = M2.astype(jnp.uint8)

@@ -21,7 +21,16 @@ Faithful quirks kept:
 T2FMRF (``T2FMRF.cpp``) adds a per-pixel two-state HMM whose transition
 probabilities adapt toward the observed low-mask labeling
 (``T2FMRF.cpp:341-398``); the computed ``ro`` ratio is dead code in the
-reference (``T2FMRF.cpp:221-231``, never read).  The wrapper's MRF-ICM pass
+reference (``T2FMRF.cpp:221-231``, never read).  One reference bug is NOT
+replicated: the post-new-mode renormalization at ``T2FMRF.cpp:331`` reads
+``m_modes[posPixel + iLocal].weight`` — the *pixel* index instead of the
+mode-array base ``posGMode`` — so the significants fed to the second qsort
+come from an earlier raster pixel's already-updated mode.  That is a
+sequential raster-order artifact with no parallel meaning; we compute the
+correct ``posGMode`` indexing (as T2FGMM.cpp:286-287 does).  Proof that
+this is the only divergence: with just that index patched in the compiled
+reference, masks agree 0.9999998 (UM) / 1.0 (UV) over 150 frames
+(tests/test_golden_cpp.py dual gates).  The wrapper's MRF-ICM pass
 (``T2FMRF_UM.cpp:86-99``) smooths the *low* mask and then discards the result
 (output is the high mask; ``old_labeling`` receives the pre-MRF copy), so by
 default we match the observable pipeline and skip it; ``applyMRF=True``
