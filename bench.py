@@ -4,10 +4,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline measures against the BASELINE.json north star of 2000 720p
 frames/sec/chip for the full BGS(+tracking) pipeline.
 
-Measures the deployment configuration: BENCH_STREAMS (default 4) independent
-720p color streams vmapped on one chip, scanned in BENCH_CHUNK-frame chunks.
-fps/chip = aggregate frames across streams / wall time. Single-stream mode:
-BENCH_STREAMS=1.
+Measures the deployment configuration: one 720p color stream scanned in
+BENCH_CHUNK-frame chunks (BENCH_STREAMS>1 vmaps several streams, but the
+chip is compute-bound at 1 — multi-stream serving scales across chips via
+shard_map, see parallel/mesh.py). fps/chip = frames / wall time.
 
 Timing notes: on the tunneled axon platform ``block_until_ready`` can return
 before remote execution completes, so every timed repetition ends with a

@@ -66,3 +66,45 @@ def test_video_source_uses_native_and_chunks(native_lib):
     cap.release()
     expect = cv2.flip(f, 1)[20:150, 10:200]
     np.testing.assert_array_equal(c2[0], expect)
+
+
+def test_video_source_camera_path(monkeypatch):
+    """Camera branch of VideoSource.chunks (VideoCapture.cpp:93-117 parity):
+    no real device in CI, so cv2.VideoCapture is monkeypatched with a fake
+    that serves 7 synthetic frames for index 0 and fails to open otherwise.
+    Verifies the camera path never touches the native file pipeline, applies
+    the same _prep (resize/flip) chain, and raises on an unopenable device."""
+    from tracking_tpu.io import video as video_mod
+
+    frames = [
+        np.full((48, 64, 3), i * 10, np.uint8) for i in range(7)
+    ]
+
+    class FakeCap:
+        def __init__(self, index):
+            self.ok = index == 0
+            self.i = 0
+
+        def isOpened(self):
+            return self.ok
+
+        def read(self):
+            if not self.ok or self.i >= len(frames):
+                return False, None
+            f = frames[self.i]
+            self.i += 1
+            return True, f.copy()
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(video_mod.cv2, "VideoCapture", FakeCap)
+
+    src = video_mod.VideoSource(camera_index=0, resize_factor=0.5, enable_flip=True)
+    chunks = list(src.chunks(chunk_size=4))
+    assert [len(c) for c in chunks] == [4, 3]
+    assert chunks[0].shape == (4, 24, 32, 3)
+    np.testing.assert_array_equal(chunks[0][2], np.full((24, 32, 3), 20, np.uint8))
+
+    with pytest.raises(FileNotFoundError):
+        list(video_mod.VideoSource(camera_index=3).chunks(4))
