@@ -17,9 +17,16 @@ if not os.environ.get("TPU_GOLDEN"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:
-        os.environ["XLA_FLAGS"] = (
-            _flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    # XLA:CPU's loop-fusion emitter goes pathological on the big select-DAG
+    # algorithms: a single fused MultiLayer step at 64×128 measured 134 s
+    # executing (vs 0.02 s with the fusion pass disabled — 6700×; the same
+    # values consumed through reduce-root fusions run fine). CPU is only the
+    # test/dryrun backend — unfused materialization at test sizes is cheap —
+    # and the TPU path never sees this flag.
+    if "xla_disable_hlo_passes" not in _flags:
+        _flags = (_flags + " --xla_disable_hlo_passes=fusion").strip()
+    os.environ["XLA_FLAGS"] = _flags
 
     import jax
 
@@ -29,6 +36,36 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"
+
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT round-1 item 10): `pytest -m fast` is the <5 min
+# developer loop covering every module; the full suite (~1 h on CPU) is the
+# CI-style gate. Policy: tests named below (measured heaviest via
+# --durations=0 on the full run) are marked slow; everything else is
+# auto-marked fast. Every test FILE keeps at least one fast test so the
+# fast tier still touches every module.
+# ---------------------------------------------------------------------------
+SLOW_TESTS = {
+    # golden-oracle sweeps (compile + 130-frame CPU scans per algorithm)
+    "test_golden_vs_reference_cpp",
+    "test_golden_imbs_after_model_creation",
+    # heavy simulations (minutes each on CPU)
+    "test_multilayer_vs_oracle",
+    "test_t2fmrf_vs_oracle",
+    "test_consensus_matches_reference_scan",
+    "test_multicue_behavioral",
+    "test_kde_vs_oracle",
+    "test_real_video_all_algorithms",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in SLOW_TESTS or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
 
 
 @pytest.fixture(scope="session")

@@ -49,6 +49,9 @@
 #include "BGModelFuzzySom.h"
 #include "TBackgroundVuMeter.h"
 #include "imbs.hpp"
+#include "NPBGSubtractor.h"
+#include "SJN_MultiCueBGS.h"
+#include "MultiLayerBGS.h"
 
 using namespace Algorithms::BackgroundSubtraction;
 
@@ -449,6 +452,68 @@ static int run_imbs(cv::VideoCapture& cap, const std::string& out, int maxf) {
   return 0;
 }
 
+// ae KDE: wrapper sequence per KDE.cpp:34-96 (Intialize/SetThresholds,
+// AddFrame for frames 0..9 with no output, Estimation at frame 10, then
+// NBBGSubtraction + Update every frame). The reference reads UpdateBGFlag
+// uninitialized (NPBGSubtractor's ctor is empty, NPBGSubtractor.h:98, and
+// KDE.cpp never calls SetUpdateFlag); we pin it to the author-documented
+// intent ("at each frame also you can call the update function to adapt
+// the bg", KDE.cpp:84-86) via SetUpdateFlag(1), matching the rebuild's
+// updateBG=True default.
+static int run_kde(cv::VideoCapture& cap, const std::string& out, int maxf) {
+  NPBGSubtractor sub;
+  unsigned char* FGImage = nullptr;
+  int fn = 0, framesToLearn = 10;
+  cv::Mat frame;
+  while (fn < maxf && cap.read(frame)) {
+    if (fn == 0) {
+      sub.Intialize(frame.rows, frame.cols, frame.channels(), 50, 100, 1, 1);
+      sub.SetThresholds(10e-8, 0.3);
+      sub.SetUpdateFlag(1);
+      FGImage = new unsigned char[frame.rows * frame.cols];
+    }
+    if (fn < framesToLearn) {
+      sub.AddFrame(frame.data);
+      write_mask(cv::Mat::zeros(frame.rows, frame.cols, CV_8UC1), out, fn);
+      fn++;
+      continue;
+    }
+    if (fn == framesToLearn) sub.Estimation();
+    sub.NBBGSubtraction(frame.data, FGImage, 0, 0);
+    sub.Update(FGImage);
+    write_mask(cv::Mat(frame.rows, frame.cols, CV_8UC1, FGImage), out, fn);
+    fn++;
+  }
+  delete[] FGImage;
+  return 0;
+}
+
+// sjn MultiCue / jmo MultiLayer: their IBGS process() IS the wrapper (config
+// I/O and imshow are stubbed to ctor defaults / no-ops by cv4_shim.h; the
+// only source edits are build-time OpenCV-4 API compat patches, see
+// test_golden_cpp.py _COMPAT_PATCHES). MultiCue's emitted map is the
+// bilinearly-enlarged 3-channel result (identical channels) — keep ch 0.
+template <class IBGS_T>
+static int run_ibgs(cv::VideoCapture& cap, const std::string& out, int maxf) {
+  IBGS_T bgs;
+  int fn = 0;
+  cv::Mat frame, fg, bgm;
+  while (fn < maxf && cap.read(frame)) {
+    fg = cv::Mat();
+    bgs.process(frame, fg, bgm);
+    if (fg.empty())
+      fg = cv::Mat::zeros(frame.rows, frame.cols, CV_8UC1);
+    if (fg.channels() > 1) {
+      cv::Mat ch[3];
+      cv::split(fg, ch);
+      fg = ch[0];
+    }
+    write_mask(fg, out, fn);
+    fn++;
+  }
+  return 0;
+}
+
 int main(int argc, char** argv) {
   if (argc < 5) {
     fprintf(stderr, "usage: family_oracle <algo> <video> <out_dir> <max_frames>\n");
@@ -535,6 +600,9 @@ int main(int argc, char** argv) {
   if (algo.rfind("lb_", 0) == 0) return run_lb(cap, out, maxf, algo);
   if (algo == "vumeter") return run_vumeter(cap, out, maxf);
   if (algo == "imbs") return run_imbs(cap, out, maxf);
+  if (algo == "kde") return run_kde(cap, out, maxf);
+  if (algo == "multicue") return run_ibgs<SJN_MultiCueBGS>(cap, out, maxf);
+  if (algo == "multilayer") return run_ibgs<MultiLayerBGS>(cap, out, maxf);
   fprintf(stderr, "unknown algo %s\n", algo.c_str());
   return 1;
 }

@@ -21,8 +21,13 @@ Phases:
    of the two chromaticity-channel Gaussian kernels; p > th ⇒ background.
    The reference's ``sum < th·S`` early-exit with ``p = sum/j`` makes the
    *same decision* as the full sum with ``p = sum/S`` (exit ⇒ sum ≥ th·S ⇒
-   sum/j ≥ th; no exit ⇒ sum/S < th), so we compute the full sum — exact
-   mask parity, scan-free.
+   sum/j ≥ th; no exit ⇒ sum/S < th), so we compute the full sum — decision
+   parity in exact arithmetic, scan-free.  The reference evaluates kernels
+   through the precomputed ``KernelLUTable`` (quantized sample bins,
+   ``KernelTable.cpp``) while we compute ``c1n·exp(c2·d²)`` directly —
+   numerically equal up to float rounding, so pixels whose density sits
+   exactly at ``th`` can flip; measured residue 7e-5 of pixels (golden
+   gate 0.9995 in tests/test_golden_cpp.py).
 4. model update (``SequenceBGUpdate_Pairs`` ``:660-851``): every 2nd update
    tick (rate = max(TimeWindow/SampleSize, 2)) once the 2-frame temporal
    buffer has filled, each pixel whose two buffered masks are both BG gets
@@ -32,9 +37,14 @@ Phases:
    (ResetMaskTh, ``NPBGmodel.cpp:116``). SD re-estimation never reruns
    (UpdateSDRate=0, ``:838``).
 
-Deliberate divergences from reference UB: ``UpdateBGFlag`` and ``PixelQTop``
-are read uninitialized in the reference (``NPBGSubtractor.h:98``,
-``NPBGmodel.cpp:104``); we define update=on and qtop=0. The reference's
+Reference-UB handling: ``UpdateBGFlag`` is read uninitialized in the
+reference (``NPBGSubtractor(){}`` never sets it, ``NPBGSubtractor.h:98``;
+KDE.cpp never calls ``SetUpdateFlag``) — we define update=on, the author's
+documented intent (``KDE.cpp:84-86``), and the golden oracle compiles the
+reference with ``SetUpdateFlag(1)`` to pin the same choice. ``PixelQTop``
+*is* defined at first use: every learn-phase ``AddFrame`` memsets it to the
+ring ``Top`` (``NPBGmodel.cpp:124``), so it starts at ``framesToLearn`` —
+updates write into the zero slots after the learned samples. The reference's
 ``AddFrame``/``NBBGSubtraction`` also convert the *caller's* frame buffer
 in place (``NPBGSubtractor.cpp:305-309``) — not reproduced.
 
@@ -121,7 +131,13 @@ class KDE(BGSAlgorithm):
         return {
             "t": jnp.zeros((), jnp.int32),
             "seq": tuple(jnp.zeros((S, h, w), jnp.uint8) for _ in range(c)),
-            "qtop": jnp.zeros((h, w), jnp.int32),
+            # = PixelQTop after the last learn-phase AddFrame memset
+            # (NPBGmodel.cpp:124): the slot just past the learned samples.
+            "qtop": jnp.full(
+                (h, w),
+                self.config.framesToLearn % self.config.SequenceLength,
+                jnp.int32,
+            ),
             "hist": tuple(
                 jnp.zeros((HISTBINS, h, w), jnp.uint8) for _ in range(c)
             ),
