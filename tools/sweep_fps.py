@@ -1,18 +1,26 @@
-"""Per-algorithm 720p fps sweep on the TPU.
+"""Per-algorithm 720p fps sweep on the TPU — writes SWEEP.json at the repo
+root so the survey in PERF.md is backed by a machine-readable artifact.
 
-Usage: python tools/sweep_fps.py [algo ...]   (defaults to the un-surveyed set)
+Usage: python tools/sweep_fps.py [algo ...]   (defaults to every registered
+algorithm; a partial run merges into the existing SWEEP.json)
 
 Same timing discipline as bench.py: scan-based chunks, device→host scalar
-checksum fetch as the completion barrier, real content frames.
+checksum fetch as the completion barrier, real content frames. fps is
+steady-state (best of 3 post-compile chunks); the per-dispatch fetch floor
+(~0.2 ms/frame at the default 32-frame chunk) is NOT subtracted — these are
+end-to-end deployable numbers, slightly conservative vs PERF.md's
+floor-corrected stage analysis.
 """
 
+import json
 import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 
 def main():
@@ -25,21 +33,22 @@ def main():
     from tracking_tpu.runner.scan import make_step_fn
 
     h, w = 720, 1280
-    t_chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    t_chunk = int(os.environ.get("BENCH_CHUNK", "32"))
 
     small = read_video("/root/reference/dataset/video.avi", max_frames=t_chunk + 1)
     big = np.stack([cv2.resize(f, (w, h)) for f in small[1 : t_chunk + 1]])
     frames = jnp.asarray(big)
     first = jnp.asarray(cv2.resize(np.asarray(small[0]), (w, h)))
 
-    algos = sys.argv[1:] or [
-        "DPAdaptiveMedianBGS", "DPMeanBGS", "DPWrenGABGS", "SigmaDeltaBGS",
-        "DPPratiMediodBGS", "DPEigenbackgroundBGS", "IndependentMultimodalBGS",
-        "DPTextureBGS", "MultiLayerBGS", "shrinkBGS", "SJN_MultiCueBGS",
-        "LbpMrf", "subsenseShrink", "FuzzySugenoIntegral",
-        "FuzzyChoquetIntegral", "T2FMRF_UM",
-    ]
     registry = list_algorithms()
+    algos = sys.argv[1:] or sorted(registry)
+
+    out_path = os.path.join(ROOT, "SWEEP.json")
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f).get("algorithms", {})
+
     for name in algos:
         cls = registry[name]
         try:
@@ -64,9 +73,29 @@ def main():
                 st, chk = run_chunk(st, frames)
                 _ = int(chk)
                 best = max(best, t_chunk / (time.perf_counter() - start))
-            print(f"{name:36s} {best:8.1f} fps   ({1000/best:7.2f} ms/frame, compile {compile_s:.0f}s)", flush=True)
+            results[name] = round(best, 1)
+            print(
+                f"{name:36s} {best:8.1f} fps   "
+                f"({1000/best:7.2f} ms/frame, compile {compile_s:.0f}s)",
+                flush=True,
+            )
         except Exception as e:  # keep sweeping
+            results[name] = f"FAILED: {type(e).__name__}"
             print(f"{name:36s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "720p_bgs_fps_per_chip_by_algorithm",
+                    "unit": "frames/sec",
+                    "chunk": t_chunk,
+                    "platform": jax.devices()[0].platform,
+                    "algorithms": dict(sorted(results.items())),
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
 
 
 if __name__ == "__main__":

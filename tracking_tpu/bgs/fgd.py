@@ -24,10 +24,15 @@ running average over background pixels. Post-processing: optional
 open/close morphing, border-connected hole filling
 (is_obj_without_holes), and a minArea connected-component gate.
 
-TPU design: tables are mode-major ([N, H, W] leaves, static N unroll) with
-first-match one-hot chains; "top-N1 by P" is computed by pairwise rank
-counting (Σ_j P_j > P_i) instead of keeping tables sorted — no sorts, no
-gathers anywhere. Replacement picks the min-P entry by a select chain.
+TPU design: tables are mode-major ([N, H, W] leaves) operated on
+array-level along the entry axis — first-match via an exclusive
+cumulative-or, matched-entry stats via one-hot masked sums, and "top-N1 by
+P" by pairwise rank counting ((P > P_match).sum(axis=0)) instead of keeping
+tables sorted — no sorts, no gathers anywhere. Replacement picks the min-P
+entry with argmin (first-occurrence ties, matching a select chain). The
+entry axis stays a tensor axis rather than a Python unroll: the unrolled
+form emitted ~2000 separate [H, W] map ops that XLA fused poorly (67 fps at
+720p); the vectorized form is ~30 [N, H, W] ops in a handful of fusions.
 """
 
 from __future__ import annotations
@@ -76,75 +81,67 @@ def _quant(planes, levels):
 
 
 def _first_match(match):
-    """(has, one-hot first True list) over a static list of [H, W] masks."""
-    is_first, none_before = [], jnp.ones_like(match[0])
-    for m in match:
-        is_first.append(m & none_before)
-        none_before = none_before & ~m
-    return ~none_before, is_first
+    """(has [H, W], one-hot-first [N, H, W]) over [N, H, W] match flags via
+    an exclusive cumulative count — entry n is "first" iff it matches and no
+    earlier entry does."""
+    m = match.astype(jnp.int32)
+    first = match & ((jnp.cumsum(m, axis=0) - m) == 0)
+    return jnp.any(match, axis=0), first
 
 
 class _Table:
-    """Mode-major Bayes table: keys[N][Ck] u8 maps, P / Pb [N] f32 maps."""
+    """Mode-major Bayes table: keys [N, Ck, H, W] u8, P / Pb [N, H, W] f32."""
 
     def __init__(self, state, prefix, N):
-        self.keys = [state[f"{prefix}_key"][n] for n in range(N)]  # [Ck,H,W]
-        self.P = [state[f"{prefix}_P"][n] for n in range(N)]
-        self.Pb = [state[f"{prefix}_Pb"][n] for n in range(N)]
+        self.keys = state[f"{prefix}_key"]
+        self.P = state[f"{prefix}_P"]
+        self.Pb = state[f"{prefix}_Pb"]
         self.N = N
+        self.idx = jnp.arange(N, dtype=jnp.int32)[:, None, None]
 
     def match(self, key):
-        """key: [Ck, H, W]. Exact quantized match per entry."""
-        return [
-            jnp.all(self.keys[n] == key, axis=0) & (self.P[n] > 0.0)
-            for n in range(self.N)
-        ]
+        """key: [Ck, H, W]. Exact quantized match per entry → [N, H, W]."""
+        return jnp.all(self.keys == key[None], axis=1) & (self.P > 0.0)
 
-    def classify(self, match_list, n1, T):
+    def classify(self, match, n1, T):
         """BG where the first matched entry is among the top-n1 by P and
         2·Pb > T·P (T folds the paper's prior threshold). The rank is
-        computed for the matched entry only — its stats come out of select
-        chains, making this O(N) map ops instead of O(N²)."""
-        has, first = _first_match(match_list)
-        P_m = sum(jnp.where(first[n], self.P[n], 0.0) for n in range(self.N))
-        Pb_m = sum(jnp.where(first[n], self.Pb[n], 0.0) for n in range(self.N))
-        idx_m = sum(
-            jnp.where(first[n], jnp.int32(n), 0) for n in range(self.N)
-        )
-        rank = sum(
-            ((self.P[j] > P_m) | ((self.P[j] == P_m) & (j < idx_m))).astype(
-                jnp.int32
-            )
-            for j in range(self.N)
+        computed for the matched entry only — one [N, H, W] compare-reduce,
+        O(N) instead of the O(N²) of ranking every entry."""
+        has, first = _first_match(match)
+        P_m = jnp.sum(jnp.where(first, self.P, 0.0), axis=0)
+        Pb_m = jnp.sum(jnp.where(first, self.Pb, 0.0), axis=0)
+        idx_m = jnp.sum(jnp.where(first, self.idx, 0), axis=0)
+        rank = jnp.sum(
+            (self.P > P_m[None])
+            | ((self.P == P_m[None]) & (self.idx < idx_m[None])),
+            axis=0,
+            dtype=jnp.int32,
         )
         return has, has & (rank < n1) & (2.0 * Pb_m > T * P_m)
 
-    def update(self, state, prefix, match_list, key, do, is_bg, alpha):
+    def update(self, state, prefix, match, key, do, is_bg, alpha):
         """Decay all entries; reinforce the matched entry, or insert/replace
-        the min-P entry, only where `do`."""
-        has, first = _first_match(match_list)
-        # min-P entry (select chain) for replacement
-        min_p = self.P[0]
-        min_idx = jnp.zeros_like(min_p, jnp.int32)
-        for n in range(1, self.N):
-            better = self.P[n] < min_p
-            min_p = jnp.minimum(min_p, self.P[n])
-            min_idx = jnp.where(better, n, min_idx)
+        the min-P entry (argmin keeps first-occurrence ties), only where
+        `do`."""
+        has, first = _first_match(match)
+        min_idx = jnp.argmin(self.P, axis=0).astype(jnp.int32)
+        at = jnp.where(has[None], first, self.idx == min_idx[None]) & do[None]
         lab = is_bg.astype(jnp.float32)
-        newP, newPb, newK = [], [], []
-        for n in range(self.N):
-            at = jnp.where(has, first[n], min_idx == n) & do
-            p_dec = self.P[n] * (1.0 - alpha)
-            pb_dec = self.Pb[n] * (1.0 - alpha)
-            # replacement resets the entry; a match reinforces it
-            p_new = jnp.where(has, p_dec + alpha, alpha)
-            pb_new = jnp.where(has, pb_dec + alpha * lab, alpha * lab)
-            newP.append(jnp.where(do, jnp.where(at, p_new, p_dec), self.P[n]))
-            newPb.append(jnp.where(do, jnp.where(at, pb_new, pb_dec), self.Pb[n]))
-            newK.append(jnp.where((at & ~has)[None], key, self.keys[n]))
-        state[f"{prefix}_key"] = jnp.stack(newK)
-        state[f"{prefix}_P"] = jnp.stack(newP)
-        state[f"{prefix}_Pb"] = jnp.stack(newPb)
+        p_dec = self.P * (1.0 - alpha)
+        pb_dec = self.Pb * (1.0 - alpha)
+        # replacement resets the entry; a match reinforces it
+        p_new = jnp.where(has[None], p_dec + alpha, alpha)
+        pb_new = jnp.where(has[None], pb_dec + alpha * lab, alpha * lab)
+        state[f"{prefix}_key"] = jnp.where(
+            (at & ~has[None])[:, None], key[None], self.keys
+        )
+        state[f"{prefix}_P"] = jnp.where(
+            do[None], jnp.where(at, p_new, p_dec), self.P
+        )
+        state[f"{prefix}_Pb"] = jnp.where(
+            do[None], jnp.where(at, pb_new, pb_dec), self.Pb
+        )
 
 
 @register("FGD", aliases=("FG_0", "fgd"))
@@ -234,13 +231,11 @@ class FGD(BGSAlgorithm):
 
             blobs = extract_blobs(fg, max_blobs=64)
             lab = label_components(fg)
-            keep = jnp.zeros((h, w), bool)
-            for k in range(64):
-                keep = keep | (
-                    (blobs.area[k] >= cfg.minArea)
-                    & (blobs.label[k] >= 0)
-                    & (lab == blobs.label[k])
-                )
+            keep = jnp.any(
+                ((blobs.area >= cfg.minArea) & (blobs.label >= 0))[:, None, None]
+                & (lab[None] == blobs.label[:, None, None]),
+                axis=0,
+            )
             fg = jnp.where(keep, jnp.uint8(255), jnp.uint8(0))
 
         new_bg = tuple(

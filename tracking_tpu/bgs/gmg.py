@@ -22,9 +22,17 @@ wrapper's bg output stays empty, ``GMG.cpp:57-58``); we emit zeros.
 
 TPU mapping: the per-pixel list ops (find / move-to-front / evict) are
 branch-free whole-map selects over a FEATURE-MAJOR [maxFeatures, H, W]
-bank with the K=64 loop statically unrolled. (The earlier per-pixel-vmap
-formulation put K minor — poor lane tiling — and its list indexing became
-per-pixel gathers; 52 ms/frame at 720p, ~20× slower. See PERF.md.)
+bank, with the slot axis kept as a tensor axis: first-match via an
+exclusive cumulative count, matched-slot stats via one-hot masked sums,
+and the move-to-front shift as a select between the bank and its
+slot-rolled copy. (The earlier per-pixel-vmap formulation put K minor —
+poor lane tiling — and its list indexing became per-pixel gathers;
+52 ms/frame at 720p, ~20× slower. A K-unrolled select-chain variant
+emitted ~640 separate [H, W] map ops that XLA fused poorly — 154 fps;
+the tensor-axis form is ~20 [K, H, W] ops. See PERF.md. The one
+semantic wrinkle: normalization sums the weights with a tree reduction
+instead of the unrolled form's sequential adds, so weights can differ
+by reassociation ulps — decisions threshold far from the knife edge.)
 """
 
 from __future__ import annotations
@@ -84,21 +92,19 @@ class GMG(BGSAlgorithm):
         code = _quantize(frame, cfg.quantizationLevels)
         training = t < cfg.initializationFrames
 
-        colors = [state["colors"][k] for k in range(K)]
-        weights = [state["weights"][k] for k in range(K)]
+        colors = state["colors"]  # [K, H, W] u32
+        weights = state["weights"]  # [K, H, W] f32
         nf = state["nf"]
+        kidx = jnp.arange(K, dtype=jnp.int32)[:, None, None]
 
         # find: codes are unique within a pixel's list, so `found` is one-hot
-        found = [(colors[k] == code) & (nf > k) for k in range(K)]
-        none_before = jnp.ones_like(found[0])  # k <= fi  ⇔  no find before k
-        upto_first = []
-        for k in range(K):
-            upto_first.append(none_before)
-            none_before = none_before & jnp.logical_not(found[k])
-        has = jnp.logical_not(none_before)
+        found = (colors == code[None]) & (nf[None] > kidx)
+        prior_finds = jnp.cumsum(found.astype(jnp.int32), axis=0) - found
+        upto_first = prior_finds == 0  # k <= first-find-index
+        has = jnp.any(found, axis=0)
 
         # ---- inference (typical mode) ----
-        w_match = sum(jnp.where(found[k], weights[k], 0.0) for k in range(K))
+        w_match = jnp.sum(jnp.where(found, weights, 0.0), axis=0)
         post = (w_match * prior) / (
             w_match * prior + (1.0 - w_match) * (1.0 - prior)
         )
@@ -106,46 +112,41 @@ class GMG(BGSAlgorithm):
 
         # ---- histogram update ----
         insert_w = jnp.where(training, 1.0, lr)
-        dec = [
-            jnp.where(training, weights[k], weights[k] * (1.0 - lr))
-            for k in range(K)
-        ]
-        front_w = insert_w + sum(
-            jnp.where(found[k], dec[k], 0.0) for k in range(K)
-        )
+        dec = jnp.where(training, weights, weights * (1.0 - lr))
+        front_w = insert_w + jnp.sum(jnp.where(found, dec, 0.0), axis=0)
         full = nf >= K
         use_front = has | full
         appended = jnp.logical_not(use_front)
-        # shift condition for slot k ≥ 1:
+        # shift condition for slot k ≥ 1 (slot k takes slot k−1):
         #  found  → slots [1, fi] take the previous slot (move-to-front)
         #  full   → slots [1, K-1] shift (evict last)
-        new_colors, new_weights = [], []
-        for k in range(K):
-            if k == 0:
-                ck = jnp.where(use_front, code, colors[0])
-                wk = jnp.where(use_front, front_w, dec[0])
-            else:
-                shift_k = (has & upto_first[k]) | (jnp.logical_not(has) & full)
-                ck = jnp.where(shift_k, colors[k - 1], colors[k])
-                wk = jnp.where(shift_k, dec[k - 1], dec[k])
-            # append path (not found, room left): write at index nf
-            ck = jnp.where(appended & (nf == k), code, ck)
-            wk = jnp.where(appended & (nf == k), front_w, wk)
-            new_colors.append(ck)
-            new_weights.append(wk)
+        # slot 0 takes (code, front_w) wherever the list is touched in front.
+        row0 = kidx == 0
+        prev_c = jnp.concatenate([colors[:1], colors[:-1]])
+        prev_w = jnp.concatenate([dec[:1], dec[:-1]])
+        shift = jnp.where(
+            row0,
+            use_front[None],
+            (has[None] & upto_first) | (jnp.logical_not(has) & full)[None],
+        )
+        src_c = jnp.where(row0, code[None], prev_c)
+        src_w = jnp.where(row0, front_w[None], prev_w)
+        new_colors = jnp.where(shift, src_c, colors)
+        new_weights = jnp.where(shift, src_w, dec)
+        # append path (not found, room left): write at index nf
+        at_append = appended[None] & (nf[None] == kidx)
+        new_colors = jnp.where(at_append, code[None], new_colors)
+        new_weights = jnp.where(at_append, front_w, new_weights)
         nf1 = jnp.where(appended, nf + 1, nf)
 
         # normalization: on growth (typical mode) or at end of training
         grew = appended & jnp.logical_not(training)
         end_train = t == cfg.initializationFrames - 1
         do_norm = grew | end_train
-        total = sum(
-            jnp.where(nf1 > k, new_weights[k], 0.0) for k in range(K)
+        total = jnp.sum(jnp.where(nf1[None] > kidx, new_weights, 0.0), axis=0)
+        new_weights = jnp.where(
+            do_norm[None], new_weights / jnp.maximum(total, 1e-20)[None], new_weights
         )
-        new_weights = [
-            jnp.where(do_norm, new_weights[k] / jnp.maximum(total, 1e-20), new_weights[k])
-            for k in range(K)
-        ]
 
         fg = jnp.where(is_fg, jnp.uint8(255), jnp.uint8(0))
         if cfg.smoothingRadius > 0:
@@ -154,8 +155,8 @@ class GMG(BGSAlgorithm):
         return (
             {
                 "t": t + 1,
-                "colors": jnp.stack(new_colors),
-                "weights": jnp.stack(new_weights),
+                "colors": new_colors,
+                "weights": new_weights,
                 "nf": nf1,
             },
             fg,
