@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 
 from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult

@@ -32,6 +32,7 @@ TPU mapping: the histogram is 64 one-hot planes box-summed with an 11×11
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -73,7 +74,10 @@ def _region_hist(code: jnp.ndarray) -> jnp.ndarray:
 
     The box sum is separable (rows then columns): 22 adds per bin instead of
     121 — the non-separable reduce_window was the dominant cost of the whole
-    algorithm at 720p (the window runs over 64 bins × 3 channels)."""
+    algorithm at 720p (the window runs over 64 bins × 3 channels).
+
+    TRACKING_TPU_TEXTURE_BOX=shift swaps the two reduce_windows for explicit
+    shifted-slice adds (bit-identical integer math; A/B perf knob)."""
     k = 2 * REGION_R + 1
     # u8 end-to-end: window counts max out at k² = 121, and the [64, H, W]
     # intermediates dominate the whole algorithm's HBM traffic (i32 here
@@ -82,6 +86,15 @@ def _region_hist(code: jnp.ndarray) -> jnp.ndarray:
         jnp.uint8
     )
     padded = jnp.pad(onehot, ((0, 0), (REGION_R, REGION_R), (REGION_R, REGION_R)))
+    if os.environ.get("TRACKING_TPU_TEXTURE_BOX") == "shift":
+        h, w = code.shape
+        rows = padded[:, 0:h, :]
+        for d in range(1, k):
+            rows = rows + padded[:, d : d + h, :]
+        cnt = rows[:, :, 0:w]
+        for d in range(1, k):
+            cnt = cnt + rows[:, :, d : d + w]
+        return cnt
     rows = jax.lax.reduce_window(
         padded, jnp.uint8(0), jax.lax.add, (1, k, 1), (1, 1, 1), "VALID"
     )
