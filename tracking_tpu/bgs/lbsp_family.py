@@ -40,6 +40,7 @@ TPU-native reformulations (each argued in place):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax
@@ -243,6 +244,86 @@ def _pick_neighbor(o_idx: jnp.ndarray, offsets: np.ndarray, arrays):
     return tuple(outs)
 
 
+def _use_v2() -> bool:
+    """Consensus v2: frame-global slot draws + eager XLA-side bank updates
+    (dynamic-slice writes of the ≤3 touched slots) + an incrementally carried
+    background color sum. Per-pixel write *marginals* are identical to v1 —
+    the slot index is only a storage position, drawn uniformly either way —
+    but v2 never needs the full-bank write-back, which lets the TPU walk
+    kernel fetch bank slot-groups on demand (ops/pallas_consensus2). Opt-in
+    via TRACKING_TPU_CONSENSUS=v2 while the TPU A/B is pending."""
+    return os.environ.get("TRACKING_TPU_CONSENSUS") == "v2"
+
+
+def _resolve_spread_xla(vals, u3, u5, col_dtype, desc_dtype, shift_src):
+    """Resolve the gather-form neighbor-spread picks from packed value maps
+    (``pack_pending_vals``): for each destination pixel, did its drawn 3×3 /
+    5×5 source fire, and what (color, desc) does the winning source carry.
+    Returns (ok3, ok5, nb_col C-list, nb_desc C-list); 3×3 wins both the
+    value pick and (in the callers) the slot write."""
+    C = len(vals)
+    ok3 = jnp.zeros(vals[0].shape, bool)
+    ok5 = jnp.zeros(vals[0].shape, bool)
+    for k, (dx, dy) in enumerate(NB5):
+        fv = shift_src(0, int(dy), int(dx)) >> 24
+        if k in NB3_IN_NB5:
+            ok3 = ok3 | ((u3 == k) & ((fv & 1) != 0))
+        ok5 = ok5 | ((u5 == k) & ((fv & 2) != 0))
+    u = jnp.where(ok3, u3, u5)
+    nbv = [jnp.zeros(vals[0].shape, jnp.int32) for _ in range(C)]
+    for k, (dx, dy) in enumerate(NB5):
+        sel = u == k
+        for c in range(C):
+            nbv[c] = jnp.where(sel, shift_src(c, int(dy), int(dx)), nbv[c])
+    nb_col = [(v & 0xFF).astype(col_dtype) for v in nbv]
+    nb_desc = [((v >> 8) & 0xFFFF).astype(desc_dtype) for v in nbv]
+    return ok3, ok5, nb_col, nb_desc
+
+
+def _apply_updates_global(
+    upd1, u3, u5, s1, s3, s5, vals, colors, descs, bg_sum, shift_src=None
+):
+    """Consensus-v2 bank update: the same per-pixel write decisions as
+    ``_apply_pending_xla`` but with frame-global slot indices (scalars
+    s1/s3/s5), applied eagerly as dynamic-slice read-modify-writes of the
+    ≤3 touched slots — O(slots touched) HBM traffic instead of O(N).
+
+    Write precedence matches v1/the sequential reference: a spread write
+    wins over the self write on a slot collision (applied later), and the
+    3×3 pick wins over the 5×5. ``bg_sum`` (C-tuple [H, W] i32, the bank
+    color sum that backs getBackgroundImage) is updated incrementally:
+    += new − old at each written slot. Returns (colors, descs, bg_sum)."""
+    C = len(colors)
+    if shift_src is None:
+        shift_src = lambda ci, dy, dx: _shift_clamped(vals[ci], dy, dx)
+    ok3, ok5, nb_col, nb_desc = _resolve_spread_xla(
+        vals, u3, u5, colors[0].dtype, descs[0].dtype, shift_src
+    )
+    own_col = [(vals[c] & 0xFF).astype(colors[0].dtype) for c in range(C)]
+    own_desc = [((vals[c] >> 8) & 0xFFFF).astype(descs[0].dtype) for c in range(C)]
+
+    colors, descs, bg_sum = list(colors), list(descs), list(bg_sum)
+    # later writes win: self, then 5×5-only spread, then 3×3 spread
+    writes = (
+        (s1, upd1.astype(bool), own_col, own_desc),
+        (s5, ok5 & ~ok3, nb_col, nb_desc),
+        (s3, ok3, nb_col, nb_desc),
+    )
+    for slot, mask, vcol, vdesc in writes:
+        for c in range(C):
+            old_c = jax.lax.dynamic_index_in_dim(colors[c], slot, 0, keepdims=False)
+            new_c = jnp.where(mask, vcol[c], old_c)
+            colors[c] = jax.lax.dynamic_update_index_in_dim(colors[c], new_c, slot, 0)
+            old_d = jax.lax.dynamic_index_in_dim(descs[c], slot, 0, keepdims=False)
+            descs[c] = jax.lax.dynamic_update_index_in_dim(
+                descs[c], jnp.where(mask, vdesc[c], old_d), slot, 0
+            )
+            bg_sum[c] = bg_sum[c] + (
+                new_c.astype(jnp.int32) - old_c.astype(jnp.int32)
+            )
+    return tuple(colors), tuple(descs), tuple(bg_sum)
+
+
 def _apply_pending_xla(ctrl, vals, colors, descs, shift_src=None):
     """Apply a deferred stochastic-update log to the sample banks — the XLA
     twin of the Pallas kernels' in-VMEM apply stage
@@ -263,28 +344,14 @@ def _apply_pending_xla(ctrl, vals, colors, descs, shift_src=None):
         shift_src = lambda ci, dy, dx: _shift_clamped(vals[ci], dy, dx)
     upd1, slot1, u3, u5, slot3, slot5 = unpack_pending_ctrl(ctrl)
 
-    ok3 = jnp.zeros(ctrl.shape, bool)
-    ok5 = jnp.zeros(ctrl.shape, bool)
-    for k, (dx, dy) in enumerate(NB5):
-        fv = shift_src(0, int(dy), int(dx)) >> 24
-        if k in NB3_IN_NB5:
-            ok3 = ok3 | ((u3 == k) & ((fv & 1) != 0))
-        ok5 = ok5 | ((u5 == k) & ((fv & 2) != 0))
+    ok3, ok5, nb_col, nb_desc = _resolve_spread_xla(
+        vals, u3, u5, colors[0].dtype, descs[0].dtype, shift_src
+    )
     okn = ok3 | ok5
-    u = jnp.where(ok3, u3, u5)
     slotn = jnp.where(ok3, slot3, slot5)
 
-    nbv = [jnp.zeros(ctrl.shape, jnp.int32) for _ in range(C)]
-    for k, (dx, dy) in enumerate(NB5):
-        sel = u == k
-        for c in range(C):
-            nbv[c] = jnp.where(
-                sel, shift_src(c, int(dy), int(dx)), nbv[c]
-            )
     own_col = [(vals[c] & 0xFF).astype(colors[0].dtype) for c in range(C)]
     own_desc = [((vals[c] >> 8) & 0xFFFF).astype(descs[0].dtype) for c in range(C)]
-    nb_col = [(v & 0xFF).astype(colors[0].dtype) for v in nbv]
-    nb_desc = [((v >> 8) & 0xFFFF).astype(descs[0].dtype) for v in nbv]
 
     slot_axis = jnp.arange(N)[:, None, None]
     m1 = upd1[None] & (slot1[None] == slot_axis)
@@ -615,7 +682,7 @@ class SuBSENSE(BGSAlgorithm):
         _, _, _, t_lower, t_upper = self._size_policy(h, w)
         dsh, dsw = h // DOWNSAMPLE_RATIO, w // DOWNSAMPLE_RATIO
         f32 = lambda fill: jnp.full((h, w), fill, jnp.float32)
-        return {
+        st = {
             "t": jnp.zeros((), jnp.int32),
             "key": jax.random.PRNGKey(0),
             "colors": tuple(jnp.zeros((N, h, w), jnp.uint8) for _ in range(c)),
@@ -647,11 +714,19 @@ class SuBSENSE(BGSAlgorithm):
             "auto_reset": jnp.array(True),
             "lr_lower": jnp.asarray(t_lower, jnp.float32),
             "lr_upper": jnp.asarray(t_upper, jnp.float32),
+        }
+        if _use_v2():
+            # v2 carries the bank color sum (getBackgroundImage) instead of
+            # a deferred write log — updates apply eagerly in-step
+            st["bg_sum"] = tuple(jnp.zeros((h, w), jnp.int32) for _ in range(c))
+        else:
             # deferred stochastic-update log (applied at the next step's
             # consensus; zero ctrl = no writes, so t=0 is a no-op)
-            "pend_ctrl": jnp.zeros((h, w), jnp.int32),
-            "pend_vals": tuple(jnp.zeros((h, w), jnp.int32) for _ in range(c)),
-        }
+            st["pend_ctrl"] = jnp.zeros((h, w), jnp.int32)
+            st["pend_vals"] = tuple(
+                jnp.zeros((h, w), jnp.int32) for _ in range(c)
+            )
+        return st
 
     def warm_start(self, state: State, frame: jnp.ndarray) -> State:
         """initialize() + refreshModel(1.0) (:206-247)."""
@@ -665,7 +740,12 @@ class SuBSENSE(BGSAlgorithm):
             sub, cfg.nBGSamples, cfg.nBGSamples, 0, planes, intra_desc,
             jnp.ones((h, w), bool), state["colors"], state["descs"],
         )
-        return dict(state, key=key, colors=colors, descs=descs)
+        out = dict(state, key=key, colors=colors, descs=descs)
+        if "bg_sum" in state:
+            out["bg_sum"] = tuple(
+                jnp.sum(c.astype(jnp.int32), axis=0) for c in colors
+            )
+        return out
 
     def step(self, state: State, frame: jnp.ndarray, ctx=None) -> StepResult:
         """One frame. ``ctx`` (parallel.spatial.SpatialCtx) switches the step
@@ -719,10 +799,13 @@ class SuBSENSE(BGSAlgorithm):
         # On the Pallas path the kernel derives these per-tile from R and
         # the old unstable mask (two fewer full-map materializations).
         # Spatial sharding uses the XLA formulation (see parallel/spatial.py).
-        use_pallas = ctx is None and jax.default_backend() == "tpu"
+        v2 = "bg_sum" in state  # consensus v2 (see _use_v2)
+        on_tpu = ctx is None and jax.default_backend() == "tpu"
+        use_pallas = on_tpu and not v2
+        use_pallas_v2 = on_tpu and v2  # walk-only kernel (pallas_consensus2)
         R = state["R"]
         old_unstable = state["unstable"]
-        if not use_pallas:
+        if not (use_pallas or use_pallas_v2):
             stab_off = cfg.nMinColorDistThreshold // 5
             color_thr_f = R * cfg.nMinColorDistThreshold - jnp.where(
                 old_unstable, 0, stab_off
@@ -738,7 +821,7 @@ class SuBSENSE(BGSAlgorithm):
             )
 
         # -- sample consensus scan (:332-357 / :468-497) ---------------------
-        if c == 3 and not use_pallas:
+        if c == 3 and not (use_pallas or use_pallas_v2):
             tot_color_thr = color_thr * 3
             tot_desc_thr = desc_thr * 3
             sc_color_thr = tot_color_thr // 2
@@ -808,8 +891,36 @@ class SuBSENSE(BGSAlgorithm):
                 )
             )
             intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
+        elif use_pallas_v2:
+            # v2 TPU path: read-only grouped-DMA walk kernel; banks are
+            # already current (updates applied eagerly at the previous
+            # step's end in XLA)
+            from tracking_tpu.ops.pallas_consensus2 import consensus_walk_pallas
+
+            bg_sums = state["bg_sum"]
+            count, min_desc, min_sum, k_intra = consensus_walk_pallas(
+                planes, colors, descs,
+                state["lut_delta"], R, old_unstable,
+                required=required_eff,
+                rel=cfg.fRelLBSPThreshold,
+                div=3.0 if c == 1 else 1.0,
+                hi_const=float(np.rint(255 * cfg.fRelLBSPThreshold)),
+                min_cd=int(cfg.nMinColorDistThreshold),
+                desc_off=int(cfg.nDescDistThresholdOffset),
+            )
+            intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
         else:
-            if ctx is None:
+            if v2:
+                # v2: banks are already current (updates applied eagerly at
+                # the end of the previous step)
+                bg_sums = state["bg_sum"]
+                if ctx is None:
+                    intra_desc, nb_stack = _intra_descriptor(planes, thr_fn)
+                else:
+                    intra_ext, nb_ext = _intra_descriptor(planes_ext, thr_fn)
+                    intra_desc = tuple(ctx.crop(d) for d in intra_ext)
+                    nb_stack = tuple(ctx.crop(nbv) for nbv in nb_ext)
+            elif ctx is None:
                 colors, descs, bg_sums = _apply_pending_xla(
                     state["pend_ctrl"], state["pend_vals"], colors, descs
                 )
@@ -909,16 +1020,35 @@ class SuBSENSE(BGSAlgorithm):
         unstable = fb.unstable
         upd1, slot1 = fb.upd1, fb.slot1
 
-        # BG self + neighbor-spread writes (:381-404; see module docstring):
-        # logged as the pending control word + packed frame values, applied
-        # by the NEXT step's consensus (in-VMEM on the Pallas path,
+        # BG self + neighbor-spread writes (:381-404; see module docstring).
+        # v1: logged as the pending control word + packed frame values,
+        # applied by the NEXT step's consensus (in-VMEM on the Pallas path,
         # _apply_pending_xla otherwise) — both backends replay the identical
         # log bit-identically.
+        # v2: applied eagerly right here with frame-global slot draws — the
+        # reference's per-pixel uniform slot marginals are preserved (the
+        # slot is only a storage position) and only the ≤3 touched slots
+        # cross HBM. The bg image then includes this frame's writes, exactly
+        # like the reference's getBackgroundImage (v1's lags one frame).
         fires = fb.fire3.astype(jnp.uint8) | (fb.fire5.astype(jnp.uint8) << 1)
-        pend_ctrl = pack_pending_ctrl(
-            upd1, slot1, nb3_to_nb5_idx(fb.o3), fb.o5, fb.slot3, fb.slot5
-        )
-        pend_vals = pack_pending_vals(planes, intra_desc, fires)
+        if v2:
+            slots_g = jax.random.randint(keys[4], (3,), 0, N)
+            vals_now = pack_pending_vals(planes, intra_desc, fires)
+            if ctx is None:
+                v2_shift = None
+            else:
+                vals_now_ext = tuple(ctx.extend_border(v) for v in vals_now)
+                v2_shift = lambda ci, dy, dx: ctx.shift_ext(vals_now_ext[ci], dy, dx)
+            colors, descs, bg_sums = _apply_updates_global(
+                upd1, nb3_to_nb5_idx(fb.o3), fb.o5,
+                slots_g[0], slots_g[1], slots_g[2],
+                vals_now, colors, descs, state["bg_sum"], shift_src=v2_shift,
+            )
+        else:
+            pend_ctrl = pack_pending_ctrl(
+                upd1, slot1, nb3_to_nb5_idx(fb.o3), fb.o5, fb.slot3, fb.slot5
+            )
+            pend_vals = pack_pending_vals(planes, intra_desc, fires)
 
         # -- feedback (:406-429): fused above ---------------------------------
         T, v, R = fb.T, fb.v, fb.R
@@ -1021,28 +1151,44 @@ class SuBSENSE(BGSAlgorithm):
             # next step doesn't replay it. Spatial mode hoists the halo
             # exchange of the fresh log out of the cond (collectives may not
             # live inside a conditional branch).
-            if ctx is not None:
-                new_vals_ext = tuple(ctx.extend_border(v) for v in pend_vals)
-                refresh_shift = lambda ci, dy, dx: ctx.shift_ext(new_vals_ext[ci], dy, dx)
-                refresh_own = ctx.own_rows
+            refresh_own = ctx.own_rows if ctx is not None else None
+            if v2:
+                # v2 banks are already current; refresh then recompute the
+                # carried bank sum on the (rare) trigger branch only
+                def _do_refresh(args):
+                    cd_colors, cd_descs, _bg = args
+                    rc, rd = _refresh_samples(
+                        keys[9], N, n_refresh, start, planes_full, intra_full,
+                        ~final_fg_full, cd_colors, cd_descs, own=refresh_own,
+                    )
+                    return rc, rd, tuple(
+                        jnp.sum(cc.astype(jnp.int32), axis=0) for cc in rc
+                    )
+
+                colors, descs, bg_sums = jax.lax.cond(
+                    trigger, _do_refresh, lambda a: a, (colors, descs, bg_sums)
+                )
             else:
-                refresh_shift = None
-                refresh_own = None
+                if ctx is not None:
+                    new_vals_ext = tuple(ctx.extend_border(v) for v in pend_vals)
+                    refresh_shift = lambda ci, dy, dx: ctx.shift_ext(new_vals_ext[ci], dy, dx)
+                else:
+                    refresh_shift = None
 
-            def _do_refresh(args):
-                cd_colors, cd_descs, ctrl = args
-                ac, ad, _ = _apply_pending_xla(
-                    ctrl, pend_vals, cd_colors, cd_descs, shift_src=refresh_shift
-                )
-                rc, rd = _refresh_samples(
-                    keys[9], N, n_refresh, start, planes_full, intra_full,
-                    ~final_fg_full, ac, ad, own=refresh_own,
-                )
-                return rc, rd, jnp.zeros_like(ctrl)
+                def _do_refresh(args):
+                    cd_colors, cd_descs, ctrl = args
+                    ac, ad, _ = _apply_pending_xla(
+                        ctrl, pend_vals, cd_colors, cd_descs, shift_src=refresh_shift
+                    )
+                    rc, rd = _refresh_samples(
+                        keys[9], N, n_refresh, start, planes_full, intra_full,
+                        ~final_fg_full, ac, ad, own=refresh_own,
+                    )
+                    return rc, rd, jnp.zeros_like(ctrl)
 
-            colors, descs, pend_ctrl = jax.lax.cond(
-                trigger, _do_refresh, lambda a: a, (colors, descs, pend_ctrl)
-            )
+                colors, descs, pend_ctrl = jax.lax.cond(
+                    trigger, _do_refresh, lambda a: a, (colors, descs, pend_ctrl)
+                )
             T = jnp.where(trigger, jnp.ones_like(T), T)
             cooldown = jnp.where(trigger, cfg.nSamplesForMovingAvgs // 4, cooldown)
             auto_reset = jnp.where(
@@ -1104,7 +1250,10 @@ class SuBSENSE(BGSAlgorithm):
             "auto_reset": auto_reset,
             "lr_lower": lr_lower,
             "lr_upper": lr_upper,
-            "pend_ctrl": pend_ctrl,
-            "pend_vals": pend_vals,
         }
+        if v2:
+            new_state["bg_sum"] = bg_sums
+        else:
+            new_state["pend_ctrl"] = pend_ctrl
+            new_state["pend_vals"] = pend_vals
         return new_state, final, _from_planes(bg_planes, was_gray)
