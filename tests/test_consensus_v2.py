@@ -44,11 +44,14 @@ def test_group_size_divides():
         assert n % g == 0 and 1 <= g <= 10
 
 
+@pytest.mark.parametrize("which", ["v2", "v3"])
 @pytest.mark.parametrize("C", [1, 3])
-def test_walk_kernel_matches_xla(C):
-    """consensus_walk_pallas (interpret) == the XLA consensus scan, with
-    N=20 -> G=10 -> 2 DMA groups so the group loop, double-buffering and
-    speculative-prefetch cleanup all execute."""
+def test_walk_kernel_matches_xla(C, which):
+    """The read-only walk kernels (interpret) == the XLA consensus scan.
+    v2 = pallas_consensus2's grouped-DMA walk, with N=20 -> G=10 -> 2 DMA
+    groups so the group loop, double-buffering and speculative-prefetch
+    cleanup all execute; v3 = pallas_consensus.consensus_read_pallas
+    (full-bank blocks, no write-back)."""
     rng = np.random.default_rng(11 + C)
     H, W, N = 24, 40, 20
     planes = tuple(
@@ -125,7 +128,13 @@ def test_walk_kernel_matches_xla(C):
     )
     (cnt_x, mind_x, mins_x), _ = jax.lax.scan(body, c0, (colors, descs))
 
-    cnt_p, mind_p, mins_p, intra_p = consensus_walk_pallas(
+    if which == "v3":
+        from tracking_tpu.ops.pallas_consensus import consensus_read_pallas
+
+        walk = consensus_read_pallas
+    else:
+        walk = consensus_walk_pallas
+    cnt_p, mind_p, mins_p, intra_p = walk(
         planes, colors, descs, delta, R, unstable,
         required=jnp.asarray(required), rel=rel, div=div, hi_const=hi,
         min_cd=min_cd, desc_off=desc_off, interpret=True,
@@ -213,10 +222,13 @@ def test_subsense_v2_behaves_like_v1():
         pytest.skip("reference video unavailable")
     frames = jnp.asarray(read_video(path, max_frames=140))
 
-    a1 = LF.SuBSENSE()
-    _, m1 = run_video(a1, frames)
-    os.environ["TRACKING_TPU_CONSENSUS"] = "v2"
+    os.environ["TRACKING_TPU_CONSENSUS"] = "v1"
     try:
+        a1 = LF.SuBSENSE()
+        s1 = a1.init(*frames.shape[1:3], frames.shape[3])
+        assert "pend_ctrl" in s1 and "bg_sum" not in s1
+        _, m1 = run_video(a1, frames, state=jax.jit(a1.warm_start)(s1, frames[0]))
+        os.environ["TRACKING_TPU_CONSENSUS"] = "v2"
         a2 = LF.SuBSENSE()
         s2 = a2.init(*frames.shape[1:3], frames.shape[3])
         assert "bg_sum" in s2 and "pend_ctrl" not in s2

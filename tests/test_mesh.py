@@ -71,6 +71,25 @@ def test_shardmap_flagship_subsense(batch):
     np.testing.assert_array_equal(np.asarray(masks_sh), np.asarray(masks_un))
 
 
+def test_combined_stream_space_subsense(batch):
+    """run_video_batch with a 2-D mesh routes the flagship to the explicit
+    stream x space shard_map (run_video_batch_spatial): masks and state must
+    be bit-identical to the unsharded per-stream run. This is the path the
+    driver's dryrun exercises (the XLA auto-partitioned fallback deadlocks
+    the CPU thunk executor on the consensus-v3 step)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8)  # (stream=4, space=2); batch h=32 -> h_loc=16
+    algo = get_algorithm("SuBSENSEBGS")()
+    st_sh, masks_sh = run_video_batch(algo, batch, mesh=mesh)
+    st_un, masks_un = run_video_batch(algo, batch)
+    np.testing.assert_array_equal(np.asarray(masks_sh), np.asarray(masks_un))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_sh), jax.tree_util.tree_leaves(st_un)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def _spatial_stream(h, w, t=6, seed=3):
     """One moving-square stream at a given size."""
     rng = np.random.default_rng(seed)

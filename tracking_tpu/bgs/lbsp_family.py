@@ -250,9 +250,22 @@ def _use_v2() -> bool:
     background color sum. Per-pixel write *marginals* are identical to v1 —
     the slot index is only a storage position, drawn uniformly either way —
     but v2 never needs the full-bank write-back, which lets the TPU walk
-    kernel fetch bank slot-groups on demand (ops/pallas_consensus2). Opt-in
-    via TRACKING_TPU_CONSENSUS=v2 while the TPU A/B is pending."""
-    return os.environ.get("TRACKING_TPU_CONSENSUS") == "v2"
+    kernel fetch bank slot-groups on demand (ops/pallas_consensus2).
+
+    TPU A/B verdicts (PERF.md "Consensus v2/v3 A/B"): v2's manual grouped
+    DMA regresses (156.7 vs 209.4 fps BGS-only) — Mosaic's automatic block
+    pipelining beats hand-rolled double-buffering when every byte is
+    eventually needed. ``v3`` keeps this eager-update model but walks with
+    the v1 kernel in read-only mode (full-bank auto-pipelined blocks, no
+    write-back — ops/pallas_consensus.consensus_read_pallas) and WINS the
+    same-session A/B: 197.4 vs 184.5 fps BGS-only (−0.36 ms/frame — the
+    bank write-back half disappears while Mosaic's read pipelining stays).
+
+    v3 is therefore the DEFAULT. TRACKING_TPU_CONSENSUS=v1 restores the
+    fused deferred-write kernel; =v2 selects the grouped-DMA research
+    artifact. CPU/TPU masks stay bit-identical within each mode (the read
+    kernel is exact vs the XLA scan, tests/test_consensus_v2.py)."""
+    return os.environ.get("TRACKING_TPU_CONSENSUS", "v3") != "v1"
 
 
 def _resolve_spread_xla(vals, u3, u5, col_dtype, desc_dtype, shift_src):
@@ -892,10 +905,19 @@ class SuBSENSE(BGSAlgorithm):
             )
             intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
         elif use_pallas_v2:
-            # v2 TPU path: read-only grouped-DMA walk kernel; banks are
-            # already current (updates applied eagerly at the previous
-            # step's end in XLA)
-            from tracking_tpu.ops.pallas_consensus2 import consensus_walk_pallas
+            # v2/v3 TPU path: read-only walk kernel; banks are already
+            # current (updates applied eagerly at the previous step's end
+            # in XLA). v3 (default) = v1's auto-pipelined full-bank blocks
+            # without write-back; v2 = manual grouped DMA (pallas_consensus2,
+            # kept as a measured-regression research artifact).
+            if os.environ.get("TRACKING_TPU_CONSENSUS") == "v2":
+                from tracking_tpu.ops.pallas_consensus2 import (
+                    consensus_walk_pallas,
+                )
+            else:
+                from tracking_tpu.ops.pallas_consensus import (
+                    consensus_read_pallas as consensus_walk_pallas,
+                )
 
             bg_sums = state["bg_sum"]
             count, min_desc, min_sum, k_intra = consensus_walk_pallas(

@@ -96,7 +96,8 @@ _NULL_APPLY = int(os.environ.get("TRACKING_TPU_NULL_APPLY", "0"))
 # raised budget un-blocks from their old compile failure — measure 10.2 ms:
 # the coarser early-exit granularity costs far more than the better DMA
 # chunking buys.
-BH, BW = 16, 256
+BH = int(os.environ.get("TRACKING_TPU_CONS_BH", "16"))
+BW = int(os.environ.get("TRACKING_TPU_CONS_BW", "256"))
 
 
 def _popcount16(v):
@@ -387,8 +388,129 @@ def _apply_pending_stage(
     )
 
 
+def _consensus_core(
+    C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp,
+    get_blk, delta_ref, r_ref, unst_ref, req_ref,
+    colors, descs, count_ref, mind_ref, mins_ref, intra_refs,
+):
+    """Shared tile body: per-tile thresholds from R/unstable, in-kernel
+    neighbor views + intra LBSP descriptors, and the early-exiting sample
+    walk. ``colors``/``descs`` may be input refs (read-only kernel) or the
+    post-pending-apply output refs (fused v1 kernel) — the walk only reads."""
+    delta = delta_ref[0, 0].astype(jnp.float32)
+    R = r_ref[...]
+    unstable = unst_ref[...]  # i32 0/1
+    required = req_ref[...]
+
+    stab_off = float(min_cd // 5)
+    ct_f = R * float(min_cd) - (1 - unstable).astype(jnp.float32) * stab_off
+    color_thr = ct_f.astype(jnp.int32)
+    if gray_mode:
+        color_thr = color_thr // 2
+    n_exp = jnp.floor(R + 0.5).astype(jnp.int32)
+    pow2 = pltpu.bitcast((n_exp + 127) << 23, jnp.float32).astype(jnp.int32)
+    desc_thr = pow2 + desc_off + unstable * desc_off
+
+    # center planes + in-kernel neighbor views + intra descriptors
+    px, nb, intra = [], [], []
+    for c in range(C):
+        p = get_blk(c, 0, 0)
+        views = _nb_views(partial(get_blk, c), interp)
+        thr_px = _thr_closed_form(p, delta, rel, div, hi_const)
+        ibits = [(jnp.abs(views[k] - p) > thr_px) for k in range(16)]
+        d = _pack16(jnp.stack(ibits))
+        intra_refs[c][...] = d
+        px.append(p)
+        nb.append(views)
+        intra.append(d)
+
+    if C == 3:
+        tot_color_thr = color_thr * 3
+        tot_desc_thr = desc_thr * 3
+        sc_color_thr = tot_color_thr // 2
+
+    count = jnp.zeros((BH, BW), jnp.int32)
+    mind = jnp.full((BH, BW), 16 * C, jnp.int32)
+    mins = jnp.full((BH, BW), 255 * C, jnp.int32)
+
+    # NOTE (negative result, measured): a per-sample "lazy descriptor"
+    # color gate (skip the 16-neighbor LBSP stage via lax.cond when no
+    # unsatisfied lane passes the color precondition) benched 112.9 vs
+    # 114.7 fps without it — the scalar any()-reduce + cond bubble costs
+    # more than the skipped work on real content, where the tile-level
+    # early exit already absorbs background tiles. Keep the body flat.
+    def body(j, carry):
+        count, mind, mins = carry
+        s_cols, cd = [], []
+        for c in range(C):
+            s_col = colors[c][j].astype(jnp.int32)
+            s_cols.append(s_col)
+            cd.append(jnp.abs(px[c] - s_col))
+        dd = []
+        for c in range(C):
+            s_col = s_cols[c]
+            s_desc = descs[c][j].astype(jnp.int32) & 0xFFFF
+            sthr = _thr_closed_form(s_col, delta, rel, div, hi_const)
+            bits = [
+                (jnp.abs(nb[c][k] - s_col) > sthr) for k in range(16)
+            ]
+            inter = _pack16(jnp.stack(bits))
+            # (popcount(intra⊕s) + popcount(inter⊕s)) // 2 as ONE 32-bit
+            # popcount of the concatenated halves — exact
+            w = (intra[c] ^ s_desc) | ((inter ^ s_desc) << 16)
+            dd.append(_popcount32(w) // 2)
+        if C == 1:
+            sum_d = jnp.minimum((dd[0] // 4) * (255 // 16) + cd[0], 255)
+            good = (
+                (cd[0] <= color_thr)
+                & (dd[0] <= desc_thr)
+                & (sum_d <= color_thr)
+            )
+            tot_desc, tot_sum = dd[0], sum_d
+        else:
+            sum_c = [
+                jnp.minimum((dd[c] // 2) * (255 // 16) + cd[c], 255)
+                for c in range(C)
+            ]
+            sc_ok = (cd[0] <= sc_color_thr) & (sum_c[0] <= sc_color_thr)
+            for c in range(1, C):
+                sc_ok &= (cd[c] <= sc_color_thr) & (sum_c[c] <= sc_color_thr)
+            tot_desc = dd[0] + (dd[1] + dd[2] if C == 3 else 0)
+            tot_sum = sum_c[0] + (sum_c[1] + sum_c[2] if C == 3 else 0)
+            good = (
+                sc_ok
+                & (tot_desc <= tot_desc_thr)
+                & (tot_sum <= tot_color_thr)
+            )
+        live = good & (count < required)
+        mind = jnp.where(live, jnp.minimum(mind, tot_desc), mind)
+        mins = jnp.where(live, jnp.minimum(mins, tot_sum), mins)
+        return count + live.astype(jnp.int32), mind, mins
+
+    # tile-level early exit: the reference stops per pixel after
+    # `required` good samples; in SIMD we stop when the WHOLE tile is
+    # satisfied (typical background tiles exit after a handful of the N
+    # samples). Exact: skipped samples could only have updated dead lanes.
+    def w_cond(carry):
+        j, count, _, _ = carry
+        return (j < N) & jnp.any(count < required)
+
+    def w_body(carry):
+        j, count, mind, mins = carry
+        count, mind, mins = body(j, (count, mind, mins))
+        return j + 1, count, mind, mins
+
+    _, count, mind, mins = jax.lax.while_loop(
+        w_cond, w_body, (jnp.int32(0), count, mind, mins)
+    )
+    count_ref[...] = count
+    mind_ref[...] = mind
+    mins_ref[...] = mins
+
+
+
 def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp):
-    """Kernel body closure. Refs order:
+    """Fused v1 kernel body closure. Refs order:
     [plane blocks×9×C, own_vals×C, ctrl, pend blocks×9×C,
      colors×C, descs×C, delta, R, unstable, req]
     outputs [count, min_desc, min_sum, intra×C, bg_sum×C,
@@ -433,117 +555,47 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp):
         for c in range(C):
             bg_refs[c][...] = bg[c]
 
-        delta = delta_ref[0, 0].astype(jnp.float32)
-        R = r_ref[...]
-        unstable = unst_ref[...]  # i32 0/1
-        required = req_ref[...]
-
-        stab_off = float(min_cd // 5)
-        ct_f = R * float(min_cd) - (1 - unstable).astype(jnp.float32) * stab_off
-        color_thr = ct_f.astype(jnp.int32)
-        if gray_mode:
-            color_thr = color_thr // 2
-        n_exp = jnp.floor(R + 0.5).astype(jnp.int32)
-        pow2 = pltpu.bitcast((n_exp + 127) << 23, jnp.float32).astype(jnp.int32)
-        desc_thr = pow2 + desc_off + unstable * desc_off
-
-        # center planes + in-kernel neighbor views + intra descriptors
-        px, nb, intra = [], [], []
-        for c in range(C):
-            p = get_blk(c, 0, 0)
-            views = _nb_views(partial(get_blk, c), interp)
-            thr_px = _thr_closed_form(p, delta, rel, div, hi_const)
-            ibits = [(jnp.abs(views[k] - p) > thr_px) for k in range(16)]
-            d = _pack16(jnp.stack(ibits))
-            intra_refs[c][...] = d
-            px.append(p)
-            nb.append(views)
-            intra.append(d)
-
-        if C == 3:
-            tot_color_thr = color_thr * 3
-            tot_desc_thr = desc_thr * 3
-            sc_color_thr = tot_color_thr // 2
-
-        count = jnp.zeros((BH, BW), jnp.int32)
-        mind = jnp.full((BH, BW), 16 * C, jnp.int32)
-        mins = jnp.full((BH, BW), 255 * C, jnp.int32)
-
-        # NOTE (negative result, measured): a per-sample "lazy descriptor"
-        # color gate (skip the 16-neighbor LBSP stage via lax.cond when no
-        # unsatisfied lane passes the color precondition) benched 112.9 vs
-        # 114.7 fps without it — the scalar any()-reduce + cond bubble costs
-        # more than the skipped work on real content, where the tile-level
-        # early exit already absorbs background tiles. Keep the body flat.
-        def body(j, carry):
-            count, mind, mins = carry
-            s_cols, cd = [], []
-            for c in range(C):
-                s_col = colors[c][j].astype(jnp.int32)
-                s_cols.append(s_col)
-                cd.append(jnp.abs(px[c] - s_col))
-            dd = []
-            for c in range(C):
-                s_col = s_cols[c]
-                s_desc = descs[c][j].astype(jnp.int32) & 0xFFFF
-                sthr = _thr_closed_form(s_col, delta, rel, div, hi_const)
-                bits = [
-                    (jnp.abs(nb[c][k] - s_col) > sthr) for k in range(16)
-                ]
-                inter = _pack16(jnp.stack(bits))
-                # (popcount(intra⊕s) + popcount(inter⊕s)) // 2 as ONE 32-bit
-                # popcount of the concatenated halves — exact
-                w = (intra[c] ^ s_desc) | ((inter ^ s_desc) << 16)
-                dd.append(_popcount32(w) // 2)
-            if C == 1:
-                sum_d = jnp.minimum((dd[0] // 4) * (255 // 16) + cd[0], 255)
-                good = (
-                    (cd[0] <= color_thr)
-                    & (dd[0] <= desc_thr)
-                    & (sum_d <= color_thr)
-                )
-                tot_desc, tot_sum = dd[0], sum_d
-            else:
-                sum_c = [
-                    jnp.minimum((dd[c] // 2) * (255 // 16) + cd[c], 255)
-                    for c in range(C)
-                ]
-                sc_ok = (cd[0] <= sc_color_thr) & (sum_c[0] <= sc_color_thr)
-                for c in range(1, C):
-                    sc_ok &= (cd[c] <= sc_color_thr) & (sum_c[c] <= sc_color_thr)
-                tot_desc = dd[0] + (dd[1] + dd[2] if C == 3 else 0)
-                tot_sum = sum_c[0] + (sum_c[1] + sum_c[2] if C == 3 else 0)
-                good = (
-                    sc_ok
-                    & (tot_desc <= tot_desc_thr)
-                    & (tot_sum <= tot_color_thr)
-                )
-            live = good & (count < required)
-            mind = jnp.where(live, jnp.minimum(mind, tot_desc), mind)
-            mins = jnp.where(live, jnp.minimum(mins, tot_sum), mins)
-            return count + live.astype(jnp.int32), mind, mins
-
-        # tile-level early exit: the reference stops per pixel after
-        # `required` good samples; in SIMD we stop when the WHOLE tile is
-        # satisfied (typical background tiles exit after a handful of the N
-        # samples). Exact: skipped samples could only have updated dead lanes.
-        def w_cond(carry):
-            j, count, _, _ = carry
-            return (j < N) & jnp.any(count < required)
-
-        def w_body(carry):
-            j, count, mind, mins = carry
-            count, mind, mins = body(j, (count, mind, mins))
-            return j + 1, count, mind, mins
-
-        _, count, mind, mins = jax.lax.while_loop(
-            w_cond, w_body, (jnp.int32(0), count, mind, mins)
+        _consensus_core(
+            C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp,
+            get_blk, delta_ref, r_ref, unst_ref, req_ref,
+            colors, descs, count_ref, mind_ref, mins_ref, intra_refs,
         )
-        count_ref[...] = count
-        mind_ref[...] = mind
-        mins_ref[...] = mins
 
     return kernel
+
+
+def _make_read_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp):
+    """Read-only variant (consensus v3): banks arrive as plain VMEM *inputs*
+    (full-bank blocks, auto-pipelined by Mosaic across grid steps — no manual
+    DMA, unlike ops/pallas_consensus2) and are never written back; the ≤3
+    stochastic slot writes happen eagerly in XLA via frame-global slot draws
+    (bgs/lbsp_family._apply_updates_global). Refs order:
+    [plane blocks×9×C, colors×C, descs×C, delta, R, unstable, req]
+    outputs [count, min_desc, min_sum, intra×C]."""
+
+    def kernel(*refs):
+        def get_blk(c, di, dj):
+            return refs[9 * c + (di + 1) * 3 + (dj + 1)][...].astype(jnp.int32)
+
+        base = 9 * C
+        colors = refs[base : base + C]
+        descs = refs[base + C : base + 2 * C]
+        delta_ref = refs[base + 2 * C]
+        r_ref = refs[base + 2 * C + 1]
+        unst_ref = refs[base + 2 * C + 2]
+        req_ref = refs[base + 2 * C + 3]
+        outs = refs[base + 2 * C + 4 :]
+        count_ref, mind_ref, mins_ref = outs[:3]
+        intra_refs = outs[3 : 3 + C]
+
+        _consensus_core(
+            C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp,
+            get_blk, delta_ref, r_ref, unst_ref, req_ref,
+            colors, descs, count_ref, mind_ref, mins_ref, intra_refs,
+        )
+
+    return kernel
+
 
 
 @partial(
@@ -655,6 +707,93 @@ def consensus_pallas(
     new_colors = tuple(o[:, :H, :W] for o in outs[n_map_out : n_map_out + C])
     new_descs = tuple(o[:, :H, :W] for o in outs[n_map_out + C :])
     return count, mind, mins, intra, bg_sum, new_colors, new_descs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("rel", "div", "hi_const", "min_cd", "desc_off", "interpret"),
+)
+def consensus_read_pallas(
+    planes,
+    colors,
+    descs,
+    lut_delta,
+    R,
+    unstable,
+    required,
+    rel: float,
+    div: float,
+    hi_const: float,
+    min_cd: int,
+    desc_off: int,
+    interpret: bool = False,
+):
+    """Consensus v3: the v1 walk on read-only full-bank VMEM blocks.
+
+    Same signature/return as ``pallas_consensus2.consensus_walk_pallas``:
+    banks are *inputs* (already current — the caller applies the stochastic
+    writes eagerly via frame-global slot draws, bgs/lbsp_family
+    ``_apply_updates_global``), Mosaic auto-pipelines the full-bank block
+    DMA across grid steps, and nothing is written back — the ~0.5 ms/frame
+    write half of the v1 bank traffic disappears while keeping v1's DMA
+    pipelining (which pallas_consensus2's manual grouped DMA lost, PERF.md).
+    Returns (count, min_desc, min_sum, intra) cropped to [H, W]."""
+    C = len(planes)
+    N = colors[0].shape[0]
+    H, W = planes[0].shape
+    ph, pw = (-H) % BH, (-W) % BW
+
+    def pad2(a):
+        return jnp.pad(a.astype(jnp.int32), ((0, ph), (0, pw)))
+
+    def pad3(a):
+        return jnp.pad(a, ((0, 0), (0, ph), (0, pw)))
+
+    Hp, Wp = H + ph, W + pw
+    plane_views = tuple(
+        pb for p in planes for pb in (_pad_plane_blocks(p, Hp, Wp),) * 9
+    )
+    args = (
+        plane_views
+        + tuple(pad3(c) for c in colors)
+        + tuple(pad3(d) for d in descs)
+        + (lut_delta.astype(jnp.int32).reshape(1, 1),)
+        + (jnp.pad(R.astype(jnp.float32), ((0, ph), (0, pw))), pad2(unstable))
+        + (pad2(jnp.broadcast_to(jnp.asarray(required, jnp.int32), (H, W))),)
+    )
+
+    grid = (Hp // BH, Wp // BW)
+    spec2 = pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    spec_bank = pl.BlockSpec(
+        (N, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+    )
+    spec_scalar = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = (
+        _plane_block_specs() * C
+        + [spec_bank] * (2 * C)
+        + [spec_scalar, spec2, spec2, spec2]
+    )
+    out_shape = [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * (3 + C)
+    out_specs = [spec2] * (3 + C)
+
+    kernel = _make_read_kernel(
+        C, N, rel, div, hi_const, C == 1, min_cd, desc_off, interpret
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)
+    count, mind, mins = (o[:H, :W] for o in outs[:3])
+    intra = tuple(o[:H, :W] for o in outs[3 : 3 + C])
+    return count, mind, mins, intra
 
 
 def _make_lobster_kernel(

@@ -118,13 +118,39 @@ def run_video_batch_shardmap(algo, frames: jnp.ndarray, mesh: Mesh, states=None)
 def run_video_batch(algo, frames: jnp.ndarray, states=None, mesh: Optional[Mesh] = None):
     """Multi-stream batched scan: frames [B, T, H, W, C] → masks [B, T, H, W].
 
-    vmap over streams of the per-stream ``lax.scan``; with a mesh, inputs are
-    sharded (B→stream, H→space) and XLA partitions the whole scan — per-pixel
-    updates shard cleanly, stencils exchange halos over ICI automatically.
+    vmap over streams of the per-stream ``lax.scan``. With a mesh:
+
+    - algorithms with explicit spatial-context support (the LBSP family) are
+      routed to ``parallel.spatial.run_video_batch_spatial`` — one 2-D
+      ``shard_map`` (streams x rows) whose collectives are all explicitly
+      placed halo exchanges in a fixed program order. This is the production
+      configuration (the fast-path kernels and the sharded path are the same
+      path), and it sidesteps an XLA:CPU thunk-executor rendezvous deadlock
+      the auto-partitioned consensus step can hit (racing subgroup
+      all-to-alls; see parallel/spatial.py).
+    - otherwise inputs are sharded (B→stream, H→space) and XLA partitions the
+      whole scan — per-pixel updates shard cleanly, stencils exchange halos
+      over ICI automatically.
     """
+    import inspect
+
     from tracking_tpu.runner.scan import make_step_fn
 
     if mesh is not None:
+        space_n = dict(mesh.shape).get("space", 1)
+        h_glob = frames.shape[2]
+        if (
+            space_n > 1
+            and "ctx" in inspect.signature(algo.step).parameters
+            and h_glob % space_n == 0
+        ):
+            from tracking_tpu.parallel.spatial import (
+                DEFAULT_HALO,
+                run_video_batch_spatial,
+            )
+
+            if h_glob // space_n >= DEFAULT_HALO:  # halo fits one slab
+                return run_video_batch_spatial(algo, frames, mesh, states=states)
         frames = shard_video_batch(frames, mesh)
     b, t, h, w = frames.shape[:4]
     c = frames.shape[4] if frames.ndim == 5 else 1

@@ -171,6 +171,99 @@ def spatial_specs(state, h_global: int, axis: str = "space"):
     return jax.tree_util.tree_map(leaf_spec, state)
 
 
+def run_video_batch_spatial(
+    algo,
+    frames: jnp.ndarray,
+    mesh: Mesh,
+    states=None,
+    halo: int = DEFAULT_HALO,
+    stream_axis: str = "stream",
+    axis: str = "space",
+):
+    """Stream x space explicit scale-out: [B, T, H, W, C] with B shard_mapped
+    over ``stream_axis`` and H row-sharded over ``axis`` with the same
+    explicit ``ppermute`` halo exchange as :func:`run_video_spatial` (the
+    per-stream body is vmapped inside one 2-D ``shard_map``).
+
+    This is the production combined configuration: every collective is an
+    explicitly placed halo exchange / psum / all_gather in a fixed program
+    order, identical on every device — nothing is left to the automatic
+    partitioner. (The auto-partitioned fallback in ``mesh.run_video_batch``
+    additionally deadlocks XLA:CPU's thunk executor on the consensus-v3 step:
+    the partitioner emits independent subgroup all-to-alls that race the halo
+    permutes in the in-process rendezvous; see tests/test_mesh.py.)
+
+    Masks and state are bit-identical to the unsharded per-stream run
+    (equality test in tests/test_mesh.py).
+    """
+    import inspect
+
+    from tracking_tpu.parallel.mesh import shard_map
+
+    if "ctx" not in inspect.signature(algo.step).parameters:
+        raise ValueError(
+            f"{type(algo).__name__}.step has no spatial-context support"
+        )
+
+    n_space = mesh.shape[axis]
+    n_stream = mesh.shape[stream_axis]
+    b, t, h = frames.shape[:3]
+    w = frames.shape[3]
+    c = frames.shape[4] if frames.ndim == 5 else 1
+    assert b % n_stream == 0, (b, n_stream)
+    if states is None:
+        states = jax.vmap(lambda _: algo.init(h, w, c))(jnp.arange(b))
+        states = jax.jit(jax.vmap(algo.warm_start))(states, frames[:, 0])
+
+    def leaf_spec(x):
+        shape = jnp.shape(x)
+        if len(shape) >= 3 and shape[-2] == h:
+            return P(stream_axis, *([None] * (len(shape) - 3)), axis, None)
+        return P(stream_axis)
+
+    specs = jax.tree_util.tree_map(leaf_spec, states)
+    frame_spec = (
+        P(stream_axis, None, axis, None, None)
+        if frames.ndim == 5
+        else P(stream_axis, None, axis, None)
+    )
+    mask_spec = P(stream_axis, None, axis, None)
+
+    def local_fn(states_loc, frames_loc):
+        ctx = SpatialCtx(axis, n_space, h, halo)
+
+        def one_stream(state, fr_loc):
+            if fr_loc.ndim == 4:
+                fr = jnp.moveaxis(fr_loc, 3, 1)  # [T, C, h_loc, W]
+                fr = ctx.extend_plain(fr)
+                fr = jnp.moveaxis(fr, 1, 3)
+            else:
+                fr = ctx.extend_plain(fr_loc)
+
+            def body(st, frame_ext):
+                st, fg, _bg = algo.step(st, frame_ext, ctx=ctx)
+                return st, fg
+
+            return jax.lax.scan(body, state, fr)
+
+        return jax.vmap(one_stream)(states_loc, frames_loc)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(specs, frame_spec),
+        out_specs=(specs, mask_spec),
+        check_rep=False,
+    )
+
+    sharded_states = jax.device_put(
+        states,
+        jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs),
+    )
+    frames = jax.device_put(frames, NamedSharding(mesh, frame_spec))
+    return jax.jit(fn)(sharded_states, frames)
+
+
 def run_video_spatial(
     algo,
     frames: jnp.ndarray,
