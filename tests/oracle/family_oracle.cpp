@@ -52,6 +52,15 @@
 #include "NPBGSubtractor.h"
 #include "SJN_MultiCueBGS.h"
 #include "MultiLayerBGS.h"
+// root-package wrappers (process() IS the algorithm; ctor defaults apply
+// because the shim's config reads return the caller's default)
+#include "FrameDifferenceBGS.h"
+#include "StaticFrameDifferenceBGS.h"
+#include "WeightedMovingMeanBGS.h"
+#include "WeightedMovingVarianceBGS.h"
+#include "AdaptiveBackgroundLearning.h"
+#include "AdaptiveSelectiveBackgroundLearning.h"
+#include "MyBGS.h"
 
 using namespace Algorithms::BackgroundSubtraction;
 
@@ -603,6 +612,18 @@ int main(int argc, char** argv) {
   if (algo == "kde") return run_kde(cap, out, maxf);
   if (algo == "multicue") return run_ibgs<SJN_MultiCueBGS>(cap, out, maxf);
   if (algo == "multilayer") return run_ibgs<MultiLayerBGS>(cap, out, maxf);
+  // root package: each process() is self-contained (FrameDifferenceBGS.cpp:
+  // 29-60 and siblings); run_ibgs writes zeros for the early-return warm-up
+  // frames where the wrapper leaves img_output untouched.
+  if (algo == "framediff") return run_ibgs<FrameDifferenceBGS>(cap, out, maxf);
+  if (algo == "staticdiff")
+    return run_ibgs<StaticFrameDifferenceBGS>(cap, out, maxf);
+  if (algo == "wmm") return run_ibgs<WeightedMovingMeanBGS>(cap, out, maxf);
+  if (algo == "wmv") return run_ibgs<WeightedMovingVarianceBGS>(cap, out, maxf);
+  if (algo == "abl") return run_ibgs<AdaptiveBackgroundLearning>(cap, out, maxf);
+  if (algo == "asbl")
+    return run_ibgs<AdaptiveSelectiveBackgroundLearning>(cap, out, maxf);
+  if (algo == "mybgs") return run_ibgs<MyBGS>(cap, out, maxf);
   fprintf(stderr, "unknown algo %s\n", algo.c_str());
   return 1;
 }

@@ -89,6 +89,22 @@ CASES = [
     # Canny, chamfer Hausdorff, 64-box cap).
     ("kde", "KDE", 0.9995, None),
     ("multicue", "SJN_MultiCueBGS", 0.98, None),
+    # round-2 additions, root package (process() is the whole algorithm —
+    # FrameDifferenceBGS.cpp:29-60 and siblings; MyBGS.cpp:6-28). All
+    # rand()-free; the float ones get a hair of slack for accumulation /
+    # saturate_cast rounding order.
+    ("framediff", "FrameDifferenceBGS", 1.0, None),
+    ("staticdiff", "StaticFrameDifferenceBGS", 1.0, None),
+    ("wmm", "WeightedMovingMeanBGS", 0.9999, None),
+    ("wmv", "WeightedMovingVarianceBGS", 0.9999, None),
+    # abl/asbl measured 0.99975 / 0.99990: cv::MatExpr evaluates the
+    # recurrent f32 background blend via addWeighted, whose per-element
+    # multiply-accumulate runs in DOUBLE before the f32 store; our blend is
+    # f32 end-to-end (no f64 on TPU), so ~2e-4 of pixels land on the other
+    # side of the cvRound half-boundary after the u8 roundtrip.
+    ("abl", "AdaptiveBackgroundLearning", 0.9995, None),
+    ("asbl", "AdaptiveSelectiveBackgroundLearning", 0.9997, None),
+    ("mybgs", "MyBGS", 1.0, None),
 ]
 
 _SRCS = (
@@ -108,6 +124,11 @@ _SRCS = (
     + [f"{REF}/jmo/{n}.cpp" for n in (
         "MultiLayerBGS", "CMultiLayerBGS", "LocalBinaryPattern",
         "blob", "BlobResult", "BlobExtraction")]
+    + [f"{REF}/{n}.cpp" for n in (
+        "FrameDifferenceBGS", "StaticFrameDifferenceBGS",
+        "WeightedMovingMeanBGS", "WeightedMovingVarianceBGS",
+        "AdaptiveBackgroundLearning", "AdaptiveSelectiveBackgroundLearning")]
+    + [f"{REF}/my/MyBGS.cpp"]
 )
 
 # OpenCV-4 API compatibility patches (2.x constructs removed in 4.x:
@@ -174,7 +195,8 @@ def _compile_oracle(out_bin, srcs):
         ["g++", "-O2", "-std=c++11", "-include", "cv4_shim.h",
          "-o", out_bin, "family_oracle.cpp"] + srcs
         + [f"-I{REF}/{d}" for d in (
-            "dp", "tb", "lb", "av", "db", "bl", "ae", "sjn", "jmo")]
+            "dp", "tb", "lb", "av", "db", "bl", "ae", "sjn", "jmo", "my")]
+        + [f"-I{REF}"]
         + ["-I."] + cv,
         cwd=ORACLE_DIR, check=True, capture_output=True,
     )
