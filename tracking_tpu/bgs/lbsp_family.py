@@ -257,15 +257,18 @@ def _use_v2() -> bool:
     pipelining beats hand-rolled double-buffering when every byte is
     eventually needed. ``v3`` keeps this eager-update model but walks with
     the v1 kernel in read-only mode (full-bank auto-pipelined blocks, no
-    write-back — ops/pallas_consensus.consensus_read_pallas) and WINS the
-    same-session A/B: 197.4 vs 184.5 fps BGS-only (−0.36 ms/frame — the
-    bank write-back half disappears while Mosaic's read pipelining stays).
+    write-back — ops/pallas_consensus.consensus_read_pallas). One session
+    measured v3 ahead (197.4 vs 184.5 BGS-only), but the verifying session
+    could not reproduce it: interleaved repeated runs gave v1 203.6 /
+    v3 159.6 BGS-only (180.8 / 135.5 full pipeline) — v1 ahead 28%, stable
+    across 4 alternating runs, with v1 matching its earlier-session numbers.
 
-    v3 is therefore the DEFAULT. TRACKING_TPU_CONSENSUS=v1 restores the
-    fused deferred-write kernel; =v2 selects the grouped-DMA research
-    artifact. CPU/TPU masks stay bit-identical within each mode (the read
-    kernel is exact vs the XLA scan, tests/test_consensus_v2.py)."""
-    return os.environ.get("TRACKING_TPU_CONSENSUS", "v3") != "v1"
+    v1 (fused deferred-write kernel) is therefore the DEFAULT.
+    TRACKING_TPU_CONSENSUS=v3 selects the read-only-walk variant, =v2 the
+    grouped-DMA research artifact. CPU/TPU masks stay bit-identical within
+    each mode (the read kernel is exact vs the XLA scan,
+    tests/test_consensus_v2.py)."""
+    return os.environ.get("TRACKING_TPU_CONSENSUS", "v1") != "v1"
 
 
 def _resolve_spread_xla(vals, u3, u5, col_dtype, desc_dtype, shift_src):
@@ -907,9 +910,9 @@ class SuBSENSE(BGSAlgorithm):
         elif use_pallas_v2:
             # v2/v3 TPU path: read-only walk kernel; banks are already
             # current (updates applied eagerly at the previous step's end
-            # in XLA). v3 (default) = v1's auto-pipelined full-bank blocks
-            # without write-back; v2 = manual grouped DMA (pallas_consensus2,
-            # kept as a measured-regression research artifact).
+            # in XLA). v3 = v1's auto-pipelined full-bank blocks without
+            # write-back; v2 = manual grouped DMA (pallas_consensus2). Both
+            # are opt-in measured-regression research artifacts (PERF.md).
             if os.environ.get("TRACKING_TPU_CONSENSUS") == "v2":
                 from tracking_tpu.ops.pallas_consensus2 import (
                     consensus_walk_pallas,
