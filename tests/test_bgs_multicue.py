@@ -52,3 +52,17 @@ def test_multicue_codebooks_stay_compact_on_static_scene():
     # a constant scene needs exactly one codeword per book
     assert int(np.asarray(st["tmodel"]["n"]).max()) == 1
     assert int(np.asarray(st["cmodel"]["n"]).max()) == 1
+
+
+def test_multicue_smoke():
+    """Fast-tier representative: the full MultiCue step compiles and runs
+    on a tiny clip (training phase) with sane outputs/state. The behavioral
+    suites above are medium/slow tier (their 120x160, 50-60 frame sims are
+    the dominant cost of this module on the 1-core host)."""
+    frames = _frames_with_object(n=3, h=24, w=32, appear=2)
+    algo = get_algorithm("multicue")()
+    st, masks = run_video(algo, jnp.asarray(frames))
+    m = np.asarray(masks)
+    assert m.shape == (3, 24, 32) and m.dtype == np.uint8
+    assert m[:2].sum() == 0  # training phase emits empty masks
+    assert int(st["t"]) == 3

@@ -32,3 +32,15 @@ def test_shrink_offset_only_from_signed_positive_bytes():
     m1 = np.asarray(run_video(get_algorithm("subsenseShrink")(), jnp.asarray(frames))[1])
     m2 = np.asarray(run_video(get_algorithm("subsense")(), jnp.asarray(frames))[1])
     assert (m1 == m2).all()
+
+
+def test_subsense_shrink_smoke():
+    """Fast-tier representative: the fused SuBSENSE+shrink step compiles
+    and runs on a tiny clip with the box-model state advancing."""
+    rng = np.random.default_rng(7)
+    frames = np.tile(rng.integers(90, 150, (1, 24, 32, 3), np.uint8), (2, 1, 1, 1))
+    algo = get_algorithm("subsenseShrink")()
+    st, masks = run_video(algo, jnp.asarray(frames))
+    assert np.asarray(masks).shape == (2, 24, 32)
+    assert int(st["yzbx_t"]) == 2
+    assert np.asarray(st["box_up"]).shape[-1] == 3
