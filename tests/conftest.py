@@ -58,6 +58,7 @@ SLOW_TESTS = {
     "test_golden_imbs_after_model_creation",
     "test_golden_shrink_vs_reference_cpp",
     "test_golden_subsense_shrink_vs_reference_cpp",
+    "test_golden_lbpmrf_vs_reference_cpp",
     "test_subsense_v2_behaves_like_v1",
     # heavy simulations (minutes each on CPU)
     "test_multilayer_vs_oracle",

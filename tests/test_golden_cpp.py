@@ -2,9 +2,11 @@
 BGS families (VERDICT round-1 item 4).
 
 ``tests/oracle/family_oracle.cpp`` compiles the reference's own dp / tb /
-lb / av / db / bl sources in place from /root/reference (never vendored) and
-replays each IBGS wrapper's exact call sequence and constructor defaults.
-All 25 covered algorithms are rand()-free, so the gates are tight:
+lb / av / db / bl / root-package sources in place from /root/reference
+(never vendored) and replays each IBGS wrapper's exact call sequence and
+constructor defaults; ``lbpmrf_oracle.cpp`` does the same for the ck
+package. The family-oracle algorithms are rand()-free, so the gates are
+tight:
 measured agreement on dataset/video.avi (130 frames, color) is bit-exact
 for most and ≥0.998 for the rest (the residue is float-accumulation
 ordering in the temporal-mediod / SOM distance sums).
@@ -344,3 +346,66 @@ def test_golden_imbs_after_model_creation(frames, tmp_path):
     agree = (masks[160:] == ref[160:]).mean()
     assert agree >= 0.99, f"imbs: agreement {agree:.5f}"
     assert (ref[160:] > 0).mean() > 0.001
+
+
+def _ensure_lbpmrf_oracle() -> bool:
+    bin_path = os.path.join(ORACLE_DIR, "lbpmrf_oracle")
+    if os.path.exists(bin_path):
+        return True
+    ck = f"{REF}/ck"
+    if not os.path.exists(f"{ck}/MotionDetection.cpp"):
+        return False
+    cv = subprocess.run(
+        ["pkg-config", "--cflags", "--libs", "opencv4"],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++11", "-include", "cv4_shim.h",
+             "-o", "lbpmrf_oracle", "lbpmrf_oracle.cpp"]
+            + [f"{ck}/{n}.cpp" for n in (
+                "MotionDetection", "MEImage", "MEHistogram", "MEDefs",
+                "graph", "maxflow")]
+            + [f"-I{ck}", "-I."] + cv,
+            cwd=ORACLE_DIR, check=True, capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_golden_lbpmrf_vs_reference_cpp(frames, tmp_path):
+    """LbpMrf vs the compiled ck package (tests/oracle/lbpmrf_oracle.cpp,
+    md_LBPHistograms mode per LbpMrf.cpp:29). This is the one algorithm
+    with a DOCUMENTED structural deviation: the reference optimizes its
+    DLBP-histogram motion field with a Boykov-Kolmogorov max-flow graph cut
+    (MotionDetection.cpp:1181-1276) which has no data-parallel equivalent;
+    the rebuild uses fixed-iteration ICM relaxation (bgs/lbp_mrf.py, per
+    SURVEY §7). Measured on dataset/video.avi: pixel agreement 0.9527 over
+    130 frames; settled-phase moving-object IoU 0.63-0.68 (frames 60-130);
+    the warm-up windows diverge (different histogram-learning dynamics) so
+    the IoU gate applies to the settled phase only."""
+    if not _ensure_lbpmrf_oracle():
+        pytest.skip("ck reference sources unavailable")
+    out = str(tmp_path / "lbpmrf")
+    os.makedirs(out, exist_ok=True)
+    n = 130
+    subprocess.run(
+        [os.path.join(ORACLE_DIR, "lbpmrf_oracle"), VIDEO, out, str(n)],
+        check=True, capture_output=True,
+    )
+    ref = np.stack(
+        [cv2.imread(os.path.join(out, f"mask_{i:04d}.png"), 0) for i in range(n)]
+    )
+    algo = get_algorithm("LbpMrf")()
+    _, masks = run_video(algo, frames[:n])
+    m = np.asarray(masks)
+    agree = (m == ref).mean()
+    assert agree >= 0.94, f"lbpmrf: agreement {agree:.5f}"
+    pred, gt = m[60:] > 0, ref[60:] > 0
+    inter = (pred & gt).sum((1, 2), dtype=np.float64)
+    union = (pred | gt).sum((1, 2), dtype=np.float64)
+    live = union > 0
+    iou = float((inter[live] / union[live]).mean())
+    assert iou >= 0.55, f"lbpmrf settled IoU {iou:.3f}"
+    assert (gt.mean() > 0.01) and (pred.mean() > 0.01)  # non-vacuous
