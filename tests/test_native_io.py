@@ -108,3 +108,41 @@ def test_video_source_camera_path(monkeypatch):
 
     with pytest.raises(FileNotFoundError):
         list(video_mod.VideoSource(camera_index=3).chunks(4))
+
+
+def test_native_writer_roundtrip(tmp_path):
+    """Native MJPEG/AVI writer: frames written through the FFmpeg encoder
+    decode back (via cv2) at the same shape with small lossy error; gray
+    masks are expanded to BGR exactly like cv2.VideoWriter(isColor=True)."""
+    import cv2
+
+    from tracking_tpu.native import VideoWriter
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (8, 48, 64, 3), np.uint8)
+    frames = np.stack([cv2.GaussianBlur(f, (7, 7), 3) for f in frames])
+    path = str(tmp_path / "out.avi")
+    try:
+        w = VideoWriter(path, 30.0, (64, 48))
+    except RuntimeError:
+        pytest.skip("native toolchain unavailable")
+    for f in frames:
+        w.write(f)
+    w.release()
+    cap = cv2.VideoCapture(path)
+    back = []
+    while True:
+        ok, fr = cap.read()
+        if not ok:
+            break
+        back.append(fr)
+    back = np.stack(back)
+    assert back.shape == frames.shape
+    assert np.abs(back.astype(int) - frames.astype(int)).mean() < 8.0
+    # binary-mask path: gray input expands to identical BGR channels
+    w = VideoWriter(str(tmp_path / "mask.avi"), 30.0, (64, 48))
+    w.write((frames[0, :, :, 0] > 128).astype(np.uint8) * 255)
+    w.release()
+    cap = cv2.VideoCapture(str(tmp_path / "mask.avi"))
+    ok, fr = cap.read()
+    assert ok and fr.shape == (48, 64, 3)

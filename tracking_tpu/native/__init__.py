@@ -61,5 +61,58 @@ def load():
         ctypes.c_long,
     ]
     lib.vio_close.argtypes = [ctypes.c_void_p]
+    lib.vio_writer_open.restype = ctypes.c_void_p
+    lib.vio_writer_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+    ]
+    lib.vio_writer_write.restype = ctypes.c_int
+    lib.vio_writer_write.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long,
+    ]
+    lib.vio_writer_close.restype = ctypes.c_int
+    lib.vio_writer_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+class VideoWriter:
+    """Native MJPEG/AVI writer (cv::VideoWriter MJPG parity; the container+
+    codec the reference uses for fgavi/btavi, trackingMain.cpp:168-215).
+    Same call surface as cv2.VideoWriter: ``write(bgr_u8_hwc)`` /
+    ``release()``. Raises if the native library is unavailable — callers
+    (runner/cli._writer) fall back to cv2."""
+
+    def __init__(self, path: str, fps: float, size):  # size = (w, h)
+        import numpy as np
+
+        self._np = np
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native videoio unavailable")
+        self._lib = lib
+        self.w, self.h = int(size[0]), int(size[1])
+        self._h = lib.vio_writer_open(
+            str(path).encode(), self.w, self.h, float(fps)
+        )
+        if not self._h:
+            raise RuntimeError(f"vio_writer_open failed for {path}")
+
+    def write(self, frame) -> None:
+        np = self._np
+        arr = np.ascontiguousarray(frame, dtype=np.uint8)
+        if arr.ndim == 2:  # gray → BGR, as cv2.VideoWriter(isColor=True) expects 3ch
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        assert arr.shape == (self.h, self.w, 3), (arr.shape, (self.h, self.w))
+        ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+        if self._lib.vio_writer_write(self._h, ptr, 1) != 0:
+            raise RuntimeError("vio_writer_write failed")
+
+    def release(self) -> None:
+        if self._h:
+            rc = self._lib.vio_writer_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise RuntimeError("vio_writer_close failed")
+
+    def isOpened(self) -> bool:  # cv2.VideoWriter API parity
+        return self._h is not None

@@ -13,6 +13,13 @@
 //   long  vio_read_batch(void* h, unsigned char* out, long max_frames);
 //   void  vio_close(void* h);
 //
+// Encoder counterpart (the reference writes its fgavi/btavi/output AVIs
+// through cv::VideoWriter with the MJPG fourcc, trackingMain.cpp:168-215;
+// this is the same container+codec via libavformat/libavcodec directly):
+//   void* vio_writer_open(const char* path, int w, int h, double fps);
+//   int   vio_writer_write(void* h, const unsigned char* bgr, long n);
+//   int   vio_writer_close(void* h);   // flushes + writes the trailer
+//
 // Build: see Makefile (g++ -O2 -shared -fPIC, links avformat/avcodec/
 // avutil/swscale). tracking_tpu.io.video auto-builds on first use and falls
 // back to cv2 when the toolchain or FFmpeg headers are absent.
@@ -186,5 +193,147 @@ long vio_read_batch(void* h, unsigned char* out, long max_frames) {
 }
 
 void vio_close(void* h) { delete (Vio*)h; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Encoder: BGR24 frames -> MJPEG-in-AVI (cv::VideoWriter MJPG parity).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Vw {
+  AVFormatContext* fmt = nullptr;
+  AVStream* st = nullptr;
+  AVCodecContext* enc = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* yuv = nullptr;
+  AVPacket* pkt = nullptr;
+  int w = 0, h = 0;
+  long n = 0;
+  bool open = false;
+};
+
+void vw_free(Vw* v) {
+  if (v->pkt) av_packet_free(&v->pkt);
+  if (v->yuv) av_frame_free(&v->yuv);
+  if (v->sws) sws_freeContext(v->sws);
+  if (v->enc) avcodec_free_context(&v->enc);
+  if (v->fmt) {
+    if (v->fmt->pb) avio_closep(&v->fmt->pb);
+    avformat_free_context(v->fmt);
+  }
+  delete v;
+}
+
+int vw_send(Vw* v, AVFrame* fr) {
+  if (avcodec_send_frame(v->enc, fr) < 0) return -1;
+  while (true) {
+    int r = avcodec_receive_packet(v->enc, v->pkt);
+    if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+    if (r < 0) return -1;
+    av_packet_rescale_ts(v->pkt, v->enc->time_base, v->st->time_base);
+    v->pkt->stream_index = v->st->index;
+    if (av_interleaved_write_frame(v->fmt, v->pkt) < 0) return -1;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* vio_writer_open(const char* path, int w, int h, double fps) {
+  // swscale warns about the (JPEG full-range) YUVJ420P alias every call;
+  // the range IS set correctly — keep the log at error level.
+  av_log_set_level(AV_LOG_ERROR);
+  auto* v = new Vw();
+  v->w = w;
+  v->h = h;
+  if (avformat_alloc_output_context2(&v->fmt, nullptr, "avi", path) < 0) {
+    vw_free(v);
+    return nullptr;
+  }
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MJPEG);
+  if (!codec) {
+    vw_free(v);
+    return nullptr;
+  }
+  v->st = avformat_new_stream(v->fmt, nullptr);
+  v->enc = avcodec_alloc_context3(codec);
+  if (!v->st || !v->enc) {
+    vw_free(v);
+    return nullptr;
+  }
+  AVRational fr = av_d2q(fps > 0 ? fps : 30.0, 1000000);
+  v->enc->codec_id = AV_CODEC_ID_MJPEG;
+  v->enc->width = w;
+  v->enc->height = h;
+  v->enc->time_base = AVRational{fr.den, fr.num};
+  v->enc->framerate = fr;
+  v->enc->pix_fmt = AV_PIX_FMT_YUVJ420P;  // full-range, the MJPEG native fmt
+  v->enc->color_range = AVCOL_RANGE_JPEG;
+  // cv::VideoWriter's default MJPG quality is ~95%; qscale 2-3 is comparable
+  v->enc->flags |= AV_CODEC_FLAG_QSCALE;
+  v->enc->global_quality = FF_QP2LAMBDA * 3;
+  if (v->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    v->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(v->enc, codec, nullptr) < 0 ||
+      avcodec_parameters_from_context(v->st->codecpar, v->enc) < 0) {
+    vw_free(v);
+    return nullptr;
+  }
+  v->st->time_base = v->enc->time_base;
+  if (avio_open(&v->fmt->pb, path, AVIO_FLAG_WRITE) < 0 ||
+      avformat_write_header(v->fmt, nullptr) < 0) {
+    vw_free(v);
+    return nullptr;
+  }
+  v->sws = sws_getContext(w, h, AV_PIX_FMT_BGR24, w, h, AV_PIX_FMT_YUVJ420P,
+                          SWS_BILINEAR, nullptr, nullptr, nullptr);
+  v->yuv = av_frame_alloc();
+  v->pkt = av_packet_alloc();
+  if (!v->sws || !v->yuv || !v->pkt) {
+    vw_free(v);
+    return nullptr;
+  }
+  v->yuv->format = AV_PIX_FMT_YUVJ420P;
+  v->yuv->width = w;
+  v->yuv->height = h;
+  if (av_frame_get_buffer(v->yuv, 0) < 0) {
+    vw_free(v);
+    return nullptr;
+  }
+  v->open = true;
+  return v;
+}
+
+int vio_writer_write(void* h, const unsigned char* bgr, long n_frames) {
+  auto* v = (Vw*)h;
+  if (!v || !v->open) return -1;
+  const size_t frame_bytes = (size_t)v->w * v->h * 3;
+  for (long i = 0; i < n_frames; ++i) {
+    const uint8_t* src[1] = {bgr + (size_t)i * frame_bytes};
+    int src_stride[1] = {v->w * 3};
+    if (av_frame_make_writable(v->yuv) < 0) return -1;
+    sws_scale(v->sws, src, src_stride, 0, v->h, v->yuv->data, v->yuv->linesize);
+    v->yuv->pts = v->n++;
+    v->yuv->quality = v->enc->global_quality;
+    if (vw_send(v, v->yuv) < 0) return -1;
+  }
+  return 0;
+}
+
+int vio_writer_close(void* h) {
+  auto* v = (Vw*)h;
+  if (!v) return -1;
+  int rc = 0;
+  if (v->open) {
+    if (vw_send(v, nullptr) < 0) rc = -1;  // flush the encoder
+    if (av_write_trailer(v->fmt) < 0) rc = -1;
+  }
+  vw_free(v);
+  return rc;
+}
 
 }  // extern "C"

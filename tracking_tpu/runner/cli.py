@@ -25,9 +25,17 @@ import numpy as np
 
 
 def _writer(path, fps, size):
-    import cv2
+    """MJPG/AVI writer: the native FFmpeg encoder (tracking_tpu.native.
+    VideoWriter) when the toolchain is present, else cv2 — both write the
+    container+codec the reference's fgavi/btavi outputs use."""
+    try:
+        from tracking_tpu.native import VideoWriter
 
-    return cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, size)
+        return VideoWriter(path, fps, size)
+    except Exception:
+        import cv2
+
+        return cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, size)
 
 
 def bgs_run(argv=None):
