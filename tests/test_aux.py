@@ -252,3 +252,33 @@ def test_image_roc_coding():
     gt = np.array([[0, 255], [0, 255]], np.uint8)
     out = np.asarray(image_roc(pred, gt))
     assert out.tolist() == [[0, 30], [255, 100]]
+
+
+def test_cdnet_run_cli(tmp_path):
+    """cdnet-run batch driver: in%06d.jpg frames over a ROI range ->
+    bin%06d.png masks for scored frames only, with a pre-ROI bootstrap
+    window (ustc_src/shrinkBGS/main.cpp:21-74, shrink.cpp:115-129)."""
+    import cv2
+    import numpy as np
+
+    from tracking_tpu.runner.cli import cdnet_run
+
+    rng = np.random.default_rng(3)
+    in_dir = tmp_path / "input"
+    in_dir.mkdir()
+    base = rng.integers(0, 180, (24, 32, 3), np.uint8)
+    for i in range(40, 56):  # frames 000040..000055
+        f = base.copy()
+        if i >= 46:
+            f[8:16, 10 + (i - 46) * 2 : 18 + (i - 46) * 2] = 255
+        cv2.imwrite(str(in_dir / f"in{i:06d}.jpg"), f)
+    out_dir = tmp_path / "out"
+    rc = cdnet_run(
+        [str(in_dir), "--out", str(out_dir), "--roi", "48", "55",
+         "--bootstrap", "8", "--bgs", "shrinkBGS", "--chunk", "8"]
+    )
+    assert rc == 0
+    written = sorted(p.name for p in out_dir.iterdir())
+    assert written == [f"bin{i:06d}.png" for i in range(48, 56)]
+    m = cv2.imread(str(out_dir / "bin000052.png"), 0)
+    assert m is not None and m.shape == (24, 32)

@@ -170,3 +170,20 @@ def read_frame_dir(path: str, pattern: str = "{}.png", start: int = 1) -> np.nda
     if not frames:
         raise FileNotFoundError(f"no frames matching {pattern!r} under {path}")
     return np.stack(frames)
+
+
+def read_cdnet_dir(path: str, start: int, stop: int) -> np.ndarray:
+    """Read a CDnet-style ``in%06d.jpg`` sequence over [start, stop]
+    inclusive (the USTC experimental mains' input convention,
+    ``ustc_src/shrinkBGS/main.cpp:24-37,55-69``) into [T, H, W, 3] u8 BGR.
+    Stops early at the first missing frame, like the reference's
+    ``imread``-empty break."""
+    frames = []
+    for i in range(start, stop + 1):
+        p = os.path.join(path, f"in{i:06d}.jpg")
+        if not os.path.exists(p):
+            break
+        frames.append(cv2.imread(p, cv2.IMREAD_COLOR))
+    if not frames:
+        raise FileNotFoundError(f"no in%06d.jpg frames in [{start}, {stop}] under {path}")
+    return np.stack(frames)

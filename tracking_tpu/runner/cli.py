@@ -568,14 +568,73 @@ def tracking_run(argv=None):
     return 0
 
 
+def cdnet_run(argv=None):
+    """CDnet-directory batch driver — parity with the USTC experimental
+    mains: reads ``in%06d.jpg`` frames over a ROI frame range, processing
+    from ``roi_start − bootstrap`` so the model settles before scoring
+    (``ustc_src/shrinkBGS/main.cpp:21-24,55-74``), and writes ``bin%06d.png``
+    masks for frames inside [roi_start, roi_stop]
+    (``ustc_src/bgs_subsense_optical_flow/qt_cmake_bgs_sof/shrink.cpp:115-129``).
+    """
+    import os
+
+    import cv2
+    import jax.numpy as jnp
+
+    from tracking_tpu.core.registry import get_algorithm
+    from tracking_tpu.io.video import read_cdnet_dir
+    from tracking_tpu.runner.scan import run_video
+
+    p = argparse.ArgumentParser(
+        description="CDnet in%06d.jpg batch runner (shrinkBGS/subsenseShrink parity)"
+    )
+    p.add_argument("input_dir", help="dir holding in%%06d.jpg frames")
+    p.add_argument("--out", required=True, help="output dir for bin%%06d.png masks")
+    p.add_argument("--roi", type=int, nargs=2, metavar=("START", "STOP"),
+                   required=True, help="first/last frame number to score")
+    p.add_argument("--bgs", default="shrinkBGS",
+                   help="algorithm name (default shrinkBGS; e.g. subsenseShrink)")
+    p.add_argument("--bootstrap", type=int, default=100,
+                   help="frames processed before roi_start to settle the model "
+                        "(main.cpp:24 uses 100)")
+    p.add_argument("--chunk", type=int, default=64)
+    args = p.parse_args(argv)
+
+    start = max(args.roi[0] - args.bootstrap, 0)
+    frames = read_cdnet_dir(args.input_dir, start, args.roi[1])
+    os.makedirs(args.out, exist_ok=True)
+    algo = get_algorithm(args.bgs)()
+    state = None
+    written = 0
+    t0 = time.perf_counter()
+    for i in range(0, len(frames), args.chunk):
+        chunk = jnp.asarray(frames[i : i + args.chunk])
+        state, masks = run_video(algo, chunk, state)
+        masks = np.asarray(masks)
+        for j in range(masks.shape[0]):
+            fnum = start + i + j
+            if fnum >= args.roi[0]:
+                cv2.imwrite(os.path.join(args.out, f"bin{fnum:06d}.png"), masks[j])
+                written += 1
+    dt = time.perf_counter() - t0
+    print(
+        f"cdnet: {len(frames)} frames ({written} masks written to {args.out}) "
+        f"in {dt:.2f}s ({len(frames) / max(dt, 1e-9):.1f} fps)"
+    )
+    return 0
+
+
 def main(argv=None):
-    """Dispatch: ``python -m tracking_tpu.runner.cli {bgs-run|tracking-run} …``."""
+    """Dispatch: ``python -m tracking_tpu.runner.cli
+    {bgs-run|tracking-run|cdnet-run} …``."""
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] in ("bgs-run", "bgs"):
         return bgs_run(argv[1:])
     if argv and argv[0] in ("tracking-run", "tracking"):
         return tracking_run(argv[1:])
-    print("usage: python -m tracking_tpu.runner.cli {bgs-run|tracking-run} ...")
+    if argv and argv[0] in ("cdnet-run", "cdnet"):
+        return cdnet_run(argv[1:])
+    print("usage: python -m tracking_tpu.runner.cli {bgs-run|tracking-run|cdnet-run} ...")
     return 2
 
 

@@ -26,7 +26,6 @@ model each frame; ``save_data``/``load_data`` persist the model.
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
