@@ -263,3 +263,41 @@ def test_pallas_lobster_consensus_matches_xla(C):
         np.testing.assert_array_equal(np.asarray(colors[ci]), np.asarray(col_p[ci]))
         np.testing.assert_array_equal(np.asarray(descs[ci]), np.asarray(desc_p[ci]))
         np.testing.assert_array_equal(np.asarray(bg_x[ci]), np.asarray(bg_p[ci]))
+
+
+def test_fused_step_matches_xla_path():
+    """The whole-step fused kernel (consensus + feedback + pending pack,
+    TRACKING_TPU_FUSED_INTERP) reproduces the XLA step bit-for-bit: masks
+    AND every carried state leaf over several frames, including t=0
+    last_color/last_desc adoption, ROI/required derivation in-kernel, and
+    the packed flags word."""
+    import os
+
+    from tracking_tpu.runner import run_video
+
+    rng = np.random.default_rng(5)
+    H, W, C, T = 48, 64, 3, 5
+    base = rng.integers(0, 200, (1, H, W, C), np.uint8)
+    frames = np.repeat(base, T, axis=0)
+    for i in range(T):
+        frames[i, 10 + i : 22 + i, 8 + 2 * i : 28 + 2 * i] = 255
+    frames = jnp.asarray(frames)
+
+    a_ref = LF.SuBSENSE()
+    s0 = a_ref.init(H, W, C)
+    s0 = jax.jit(a_ref.warm_start)(s0, frames[0])
+    st_ref, m_ref = run_video(a_ref, frames, state=s0)
+
+    os.environ["TRACKING_TPU_FUSED_INTERP"] = "1"
+    try:
+        a_fused = LF.SuBSENSE()
+        st_f, m_f = run_video(a_fused, frames, state=s0)
+    finally:
+        os.environ.pop("TRACKING_TPU_FUSED_INTERP", None)
+
+    np.testing.assert_array_equal(np.asarray(m_f), np.asarray(m_ref))
+    ref_leaves, ref_tree = jax.tree_util.tree_flatten(st_ref)
+    f_leaves, f_tree = jax.tree_util.tree_flatten(st_f)
+    assert ref_tree == f_tree
+    for a, b in zip(ref_leaves, f_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

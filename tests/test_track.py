@@ -483,3 +483,36 @@ def test_ref_token_cli_conversion():
         {"bt": ("CC", cfg)},
     )
     assert upd == {"bt": {"maxLostFrames": 7, "gateDistance": 3.5}}
+
+
+def test_greedy_assign_pallas_matches_xla_loop():
+    """The one-call Pallas greedy-assignment kernel (interpret mode) is
+    bit-identical to the XLA while_loop formulation, including argmin
+    tie-breaks, gating, and row/col masking."""
+    import numpy as np
+
+    from tracking_tpu.ops.pallas_assoc import BIG, greedy_assign_pallas
+    from tracking_tpu.track.tracker import BlobTracker
+
+    rng = np.random.default_rng(11)
+    tracker = BlobTracker()
+    K, B = tracker.config.maxTracks, tracker.config.maxBlobs
+    for trial in range(6):
+        pred = jnp.asarray(rng.uniform(0, 100, (K, 4)).astype(np.float32))
+        blob = jnp.asarray(rng.uniform(0, 100, (B, 4)).astype(np.float32))
+        active = jnp.asarray(rng.random(K) < 0.5)
+        ok = jnp.asarray(rng.random(B) < 0.5)
+        if trial == 5:  # exact tie to exercise the argmin tie-break
+            blob = blob.at[3].set(blob[7])
+        a_ref, t_ref = tracker._associate(pred, active, blob, ok)
+        d = jnp.linalg.norm(pred[:, None, :2] - blob[None, :, :2], axis=-1)
+        scale = 0.5 * (
+            jnp.maximum(pred[:, None, 2:4].mean(-1), 1.0)
+            + jnp.maximum(blob[None, :, 2:4].mean(-1), 1.0)
+        )
+        cost = d / scale
+        cost = jnp.where(active[:, None] & ok[None, :], cost, BIG)
+        cost = jnp.where(cost <= tracker.config.gateDistance, cost, BIG)
+        a_k, t_k = greedy_assign_pallas(cost, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a_k), np.asarray(a_ref))
+        np.testing.assert_array_equal(np.asarray(t_k), np.asarray(t_ref))

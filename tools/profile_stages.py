@@ -10,6 +10,7 @@ Usage: python tools/profile_stages.py [stage ...]
 Stages: full bgs consensus cc fill track assoc
 """
 
+import os
 import sys
 import time
 
@@ -27,12 +28,15 @@ from tracking_tpu.runner.scan import make_step_fn  # noqa: E402
 H, W, C = 720, 1280, 3
 T = 64
 FLOOR = 27.0 / T
+# PROF_T0: first measured frame (default 1 = the quiet settling window;
+# 65 = the motion peak window the distinct-content bench covers)
+T0 = int(os.environ.get("PROF_T0", "1"))
 
 
 def frames_720p():
-    small = read_video("/root/reference/dataset/video.avi", max_frames=T + 1)
+    small = read_video("/root/reference/dataset/video.avi", max_frames=T0 + T)
     return jnp.asarray(
-        np.stack([cv2.resize(f, (W, H)) for f in small[1 : T + 1]])
+        np.stack([cv2.resize(f, (W, H)) for f in small[T0 : T0 + T]])
     )
 
 
@@ -99,6 +103,37 @@ def main():
 
         measure_scan(tbody, tracker.init(), masks, "tracking only")
 
+        # sub-stages: blob extraction alone, then tracker minus each piece
+        from tracking_tpu.ops.cc import extract_blobs
+
+        def ebody(_, m):
+            b = extract_blobs(m, max_blobs=64)
+            return _, (b.area, b.cx)
+
+        measure_scan(ebody, jnp.zeros(()), masks, "blob extraction only")
+
+        import tracking_tpu.track.tracker as TT
+
+        real_assoc = BlobTracker._associate
+        def stub_assoc(self, pred_pos, active, blob_pos, blob_ok):
+            K, B = pred_pos.shape[0], blob_pos.shape[0]
+            return jnp.full(K, -1, jnp.int32), jnp.zeros(B, bool)
+        BlobTracker._associate = stub_assoc
+        try:
+            tr2 = BlobTracker()
+            def tbody2(ts, m):
+                ts, tracks = tr2.step(ts, m)
+                return ts, tracks.x
+            measure_scan(tbody2, tr2.init(), masks, "tracking w/o associate")
+        finally:
+            BlobTracker._associate = real_assoc
+
+        tr3 = BlobTracker(useMeanShiftCollision=False)
+        def tbody3(ts, m):
+            ts, tracks = tr3.step(ts, m)
+            return ts, tracks.x
+        measure_scan(tbody3, tr3.init(), masks, "tracking w/o meanshift")
+
     if "consensus" in which:
         # stub the consensus kernel with a cheap fake of identical shapes
         import tracking_tpu.ops.pallas_consensus as PC
@@ -142,6 +177,27 @@ def main():
                 measure_scan(bodyw, state0, frames, f"BGS required={req_val}")
             finally:
                 PC.consensus_pallas = real
+
+    if "post" in which:
+        # stub the ENTIRE post-proc chain (close/fill/erode/median/dilate)
+        import tracking_tpu.bgs.lbsp_family as LF
+
+        saved = {
+            n: getattr(LF, n)
+            for n in ("morph_close", "fill_holes", "erode", "dilate",
+                      "binary_median_blur")
+        }
+        LF.morph_close = lambda m, k: m
+        LF.fill_holes = lambda m, *a, **kw: m
+        LF.erode = lambda m, k: m
+        LF.dilate = lambda m, k: m
+        LF.binary_median_blur = lambda m, k: m
+        try:
+            body4 = make_step_fn(_flagship())
+            measure_scan(body4, state0, frames, "BGS w/o post-proc chain")
+        finally:
+            for n, f in saved.items():
+                setattr(LF, n, f)
 
     if "fill" in which:
         # lbsp_family binds fill_holes at import time — stub its module global

@@ -817,11 +817,27 @@ class SuBSENSE(BGSAlgorithm):
         # Spatial sharding uses the XLA formulation (see parallel/spatial.py).
         v2 = "bg_sum" in state  # consensus v2 (see _use_v2)
         on_tpu = ctx is None and jax.default_backend() == "tpu"
-        use_pallas = on_tpu and not v2
+        # whole-step fused kernel (consensus + feedback + pending pack in
+        # one pallas_call) — measured-regression research artifact, opt-in
+        # via TRACKING_TPU_FUSED=1: interleaved same-session A/B gave split
+        # 6.60/6.51 vs fused 6.69/6.64 ms BGS-step (motion window). XLA
+        # already fuses the elementwise feedback for free; the kernel
+        # epilogue re-pays tile-granular DMA for every f32 state map and
+        # runs on early-exited tiles too (PERF.md round 3).
+        # TRACKING_TPU_FUSED_INTERP=1 forces the interpret-mode kernel on
+        # CPU for the bit-exactness parity test.
+        fused_interp = bool(os.environ.get("TRACKING_TPU_FUSED_INTERP"))
+        use_fused = (
+            (on_tpu or (ctx is None and fused_interp))
+            and not v2
+            and (fused_interp or os.environ.get("TRACKING_TPU_FUSED") == "1")
+        )
+        use_pallas = on_tpu and not v2 and not use_fused
         use_pallas_v2 = on_tpu and v2  # walk-only kernel (pallas_consensus2)
+        any_kernel = use_pallas or use_pallas_v2 or use_fused
         R = state["R"]
         old_unstable = state["unstable"]
-        if not (use_pallas or use_pallas_v2):
+        if not any_kernel:
             stab_off = cfg.nMinColorDistThreshold // 5
             color_thr_f = R * cfg.nMinColorDistThreshold - jnp.where(
                 old_unstable, 0, stab_off
@@ -837,7 +853,7 @@ class SuBSENSE(BGSAlgorithm):
             )
 
         # -- sample consensus scan (:332-357 / :468-497) ---------------------
-        if c == 3 and not (use_pallas or use_pallas_v2):
+        if c == 3 and not any_kernel:
             tot_color_thr = color_thr * 3
             tot_desc_thr = desc_thr * 3
             sc_color_thr = tot_color_thr // 2
@@ -890,7 +906,11 @@ class SuBSENSE(BGSAlgorithm):
         # the raw planes); real TPU only. Masks are identical to the eager
         # write order; the bg image (bank mean, free from the apply loop)
         # lags the reference's by one frame of ≤2-slot writes.
-        if use_pallas:
+        if use_fused:
+            pass  # consensus + feedback + pending pack run as ONE fused
+            # kernel below (consensus_feedback_pallas) — see the feedback
+            # section; nothing to do here.
+        elif use_pallas:
             from tracking_tpu.ops.pallas_consensus import consensus_pallas
 
             count, min_desc, min_sum, k_intra, bg_sums, colors, descs = (
@@ -971,12 +991,15 @@ class SuBSENSE(BGSAlgorithm):
             (count, min_desc, min_sum), _ = jax.lax.scan(
                 consensus_body, carry0, (colors, descs)
             )
-        last_color = tuple(
-            jnp.where(t == 0, planes[ci], state["last_color"][ci]) for ci in range(c)
-        )
-        last_desc = tuple(
-            jnp.where(t == 0, intra_desc[ci], state["last_desc"][ci]) for ci in range(c)
-        )
+        if not use_fused:
+            last_color = tuple(
+                jnp.where(t == 0, planes[ci], state["last_color"][ci])
+                for ci in range(c)
+            )
+            last_desc = tuple(
+                jnp.where(t == 0, intra_desc[ci], state["last_desc"][ci])
+                for ci in range(c)
+            )
         # -- fused feedback stage (:358-431) ----------------------------------
         # Rolling means, stochastic update decisions, R/T/v controllers, blink
         # bookkeeping and the nonzero-descriptor map, all in one pass
@@ -1004,29 +1027,6 @@ class SuBSENSE(BGSAlgorithm):
             bits = ctx.rng_rows(bits)
         # native dtypes throughout (u8 planes/masks, u16 descs): the kernel
         # widens per-tile in VMEM; widening whole maps here would burn HBM
-        fb_tensors = dict(
-            count=count, mind=min_desc, mins=min_sum,
-            required=jnp.broadcast_to(jnp.asarray(required, jnp.int32), (h, w)),
-            roi=roi,
-            planes=tuple(planes),
-            intras=tuple(intra_desc),
-            last_colors=tuple(last_color),
-            last_descs=tuple(last_desc),
-            bits=tuple(bits[i] for i in range(4)),
-            mean_last=state["mean_last"], dmin_lt=state["dmin_lt"],
-            dmin_st=state["dmin_st"], raw_lt=state["raw_lt"],
-            raw_st=state["raw_st"], final_lt=state["final_lt"],
-            final_st=state["final_st"], R=state["R"], T=state["T"],
-            v=state["v"],
-            last_final=state["last_final"],  # u8 mask, 0/255
-            blinks_old=state["blinks"],
-            last_blink_mask=state["last_blink_mask"],
-            last_raw=state["last_raw"],  # u8 mask, 0/255
-            last_dil_inv=state["last_dil_inv"],
-        )
-        fb_scalars = (
-            a_lt, a_st, state["lr_lower"], state["lr_upper"], state["cooldown"]
-        )
         consts = FeedbackConsts(
             t_incr=FEEDBACK_T_INCR, t_decr=FEEDBACK_T_DECR,
             t_lower=FEEDBACK_T_LOWER, v_incr=FEEDBACK_V_INCR,
@@ -1034,10 +1034,87 @@ class SuBSENSE(BGSAlgorithm):
             rdist_min=UNSTABLE_REG_RDIST_MIN, ratio_min=UNSTABLE_REG_RATIO_MIN,
             ghost_s_min=GHOSTDET_S_MIN, ghost_d_max=GHOSTDET_D_MAX,
         )
-        fb = feedback_xla(
-            fb_tensors, fb_scalars, C=c, N=N,
-            use3x3_global=bool(use3x3_global), k=consts,
-        )
+        if use_fused:
+            # whole-step fused kernel: pending apply + walk + feedback +
+            # next-frame pending pack in one pallas_call (the split path's
+            # count/mind/mins/intra intermediates and the XLA feedback's
+            # re-reads never touch HBM); flags word carries the 5 masks
+            from types import SimpleNamespace
+
+            from tracking_tpu.ops.pallas_consensus import (
+                consensus_feedback_pallas,
+            )
+
+            flags, pend_ctrl, pend_vals, f32o, bg_sums, colors, descs = (
+                consensus_feedback_pallas(
+                    planes, colors, descs,
+                    state["pend_ctrl"], state["pend_vals"],
+                    state["lut_delta"], R, old_unstable,
+                    required,
+                    state["last_color"], state["last_desc"], bits,
+                    (state["last_final"], state["blinks"],
+                     state["last_blink_mask"], state["last_raw"],
+                     state["last_dil_inv"]),
+                    (state["mean_last"], state["dmin_lt"], state["dmin_st"],
+                     state["raw_lt"], state["raw_st"], state["final_lt"],
+                     state["final_st"], state["T"], state["v"]),
+                    (a_lt, a_st, state["lr_lower"], state["lr_upper"],
+                     state["cooldown"], t),
+                    rel=cfg.fRelLBSPThreshold,
+                    div=3.0 if c == 1 else 1.0,
+                    hi_const=float(np.rint(255 * cfg.fRelLBSPThreshold)),
+                    min_cd=int(cfg.nMinColorDistThreshold),
+                    desc_off=int(cfg.nDescDistThresholdOffset),
+                    use3x3_global=bool(use3x3_global),
+                    k_consts=consts,
+                    interpret=fused_interp,
+                )
+            )
+            intra_desc = tuple(
+                ((v_ >> 8) & 0xFFFF).astype(jnp.uint16) for v_ in pend_vals
+            )
+            fb = SimpleNamespace(
+                is_fg=(flags & 1) != 0,
+                unstable=((flags >> 1) & 1) != 0,
+                nz=((flags >> 2) & 1) != 0,
+                curr_blink=((flags >> 3) & 1) != 0,
+                blinks_pre=((flags >> 4) & 1) != 0,
+                mean_last=f32o[0], dmin_lt=f32o[1], dmin_st=f32o[2],
+                raw_lt=f32o[3], raw_st=f32o[4], T=f32o[5], v=f32o[6],
+                R=f32o[7],
+                upd1=None, slot1=None,  # packed in-kernel; unused here
+            )
+        else:
+            fb_tensors = dict(
+                count=count, mind=min_desc, mins=min_sum,
+                required=jnp.broadcast_to(
+                    jnp.asarray(required, jnp.int32), (h, w)
+                ),
+                roi=roi,
+                planes=tuple(planes),
+                intras=tuple(intra_desc),
+                last_colors=tuple(last_color),
+                last_descs=tuple(last_desc),
+                bits=tuple(bits[i] for i in range(4)),
+                mean_last=state["mean_last"], dmin_lt=state["dmin_lt"],
+                dmin_st=state["dmin_st"], raw_lt=state["raw_lt"],
+                raw_st=state["raw_st"], final_lt=state["final_lt"],
+                final_st=state["final_st"], R=state["R"], T=state["T"],
+                v=state["v"],
+                last_final=state["last_final"],  # u8 mask, 0/255
+                blinks_old=state["blinks"],
+                last_blink_mask=state["last_blink_mask"],
+                last_raw=state["last_raw"],  # u8 mask, 0/255
+                last_dil_inv=state["last_dil_inv"],
+            )
+            fb_scalars = (
+                a_lt, a_st, state["lr_lower"], state["lr_upper"],
+                state["cooldown"],
+            )
+            fb = feedback_xla(
+                fb_tensors, fb_scalars, C=c, N=N,
+                use3x3_global=bool(use3x3_global), k=consts,
+            )
         is_fg = fb.is_fg  # bool on the XLA path
         raw_fg = jnp.where(is_fg, jnp.uint8(255), jnp.uint8(0))
         mean_last, dmin_lt, dmin_st = fb.mean_last, fb.dmin_lt, fb.dmin_st
@@ -1055,8 +1132,10 @@ class SuBSENSE(BGSAlgorithm):
         # slot is only a storage position) and only the ≤3 touched slots
         # cross HBM. The bg image then includes this frame's writes, exactly
         # like the reference's getBackgroundImage (v1's lags one frame).
-        fires = fb.fire3.astype(jnp.uint8) | (fb.fire5.astype(jnp.uint8) << 1)
-        if v2:
+        if use_fused:
+            pass  # pend_ctrl/pend_vals were packed in-kernel
+        elif v2:
+            fires = fb.fire3.astype(jnp.uint8) | (fb.fire5.astype(jnp.uint8) << 1)
             slots_g = jax.random.randint(keys[4], (3,), 0, N)
             vals_now = pack_pending_vals(planes, intra_desc, fires)
             if ctx is None:
@@ -1070,6 +1149,7 @@ class SuBSENSE(BGSAlgorithm):
                 vals_now, colors, descs, state["bg_sum"], shift_src=v2_shift,
             )
         else:
+            fires = fb.fire3.astype(jnp.uint8) | (fb.fire5.astype(jnp.uint8) << 1)
             pend_ctrl = pack_pending_ctrl(
                 upd1, slot1, nb3_to_nb5_idx(fb.o3), fb.o5, fb.slot3, fb.slot5
             )

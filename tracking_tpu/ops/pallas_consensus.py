@@ -397,10 +397,26 @@ def _consensus_core(
     neighbor views + intra LBSP descriptors, and the early-exiting sample
     walk. ``colors``/``descs`` may be input refs (read-only kernel) or the
     post-pending-apply output refs (fused v1 kernel) — the walk only reads."""
-    delta = delta_ref[0, 0].astype(jnp.float32)
-    R = r_ref[...]
-    unstable = unst_ref[...]  # i32 0/1
-    required = req_ref[...]
+    count, mind, mins, _px, intra = _consensus_values(
+        C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp,
+        get_blk, delta_ref[0, 0], r_ref[...], unst_ref[...], req_ref[...],
+        colors, descs,
+    )
+    for c in range(C):
+        intra_refs[c][...] = intra[c]
+    count_ref[...] = count
+    mind_ref[...] = mind
+    mins_ref[...] = mins
+
+
+def _consensus_values(
+    C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp,
+    get_blk, delta_s, R, unstable, required, colors, descs,
+):
+    """Value-returning twin of :func:`_consensus_core`: returns
+    (count, mind, mins, px ×C, intra ×C) as tile values so fused kernels can
+    keep consuming them in-VMEM (the feedback epilogue)."""
+    delta = delta_s.astype(jnp.float32)
 
     stab_off = float(min_cd // 5)
     ct_f = R * float(min_cd) - (1 - unstable).astype(jnp.float32) * stab_off
@@ -419,7 +435,6 @@ def _consensus_core(
         thr_px = _thr_closed_form(p, delta, rel, div, hi_const)
         ibits = [(jnp.abs(views[k] - p) > thr_px) for k in range(16)]
         d = _pack16(jnp.stack(ibits))
-        intra_refs[c][...] = d
         px.append(p)
         nb.append(views)
         intra.append(d)
@@ -503,9 +518,7 @@ def _consensus_core(
     _, count, mind, mins = jax.lax.while_loop(
         w_cond, w_body, (jnp.int32(0), count, mind, mins)
     )
-    count_ref[...] = count
-    mind_ref[...] = mind
-    mins_ref[...] = mins
+    return count, mind, mins, px, intra
 
 
 
@@ -794,6 +807,299 @@ def consensus_read_pallas(
     count, mind, mins = (o[:H, :W] for o in outs[:3])
     intra = tuple(o[:H, :W] for o in outs[3 : 3 + C])
     return count, mind, mins, intra
+
+
+def _make_fused_kernel(
+    C, N, rel, div, hi_const, gray_mode, min_cd, desc_off,
+    H, W, use3x3_global, k_consts, interp,
+):
+    """Whole-step fused kernel: pending apply + consensus walk + the ENTIRE
+    feedback stage (``pallas_feedback._core`` — rolling means, R/T/v
+    controllers, stochastic draws, blink bookkeeping) + next-frame pending
+    pack, all per-tile in VMEM.
+
+    vs the split formulation this removes the count/mind/mins/intra
+    intermediate maps (6 full-map HBM round-trips), the separate XLA
+    feedback pass's re-read of planes/intra, and the pending-pack
+    materializations; the 5 output masks ride ONE packed flags word
+    (bit 0 is_fg, 1 unstable, 2 nz, 3 curr_blink, 4 blinks_pre).
+
+    The LBSP ROI mask and the walk's ROI-zeroed required map are derived
+    in-kernel from the global pixel coordinates (H, W static), so the
+    ``required`` input carries the TRUE per-pixel requirement
+    (subsenseShrink's +5 map rides it; ``_core`` divides by it for the
+    FG dmin penalty, reference ``BackgroundSubtractorSuBSENSE.cpp:366``).
+
+    Refs (inputs): [plane blocks×9C, own_vals×C, ctrl, pend blocks×9C,
+    colors×C, descs×C, delta(SMEM), R, unstable, required,
+    last_color×C, last_desc×C, bits×4,
+    last_final, blinks_old, last_blink_mask, last_raw, last_dil_inv,
+    mean_last, dmin_lt, dmin_st, raw_lt, raw_st, final_lt, final_st, T, v,
+    fscal(SMEM [1,4]: a_lt a_st lr_lower lr_upper),
+    iscal(SMEM [1,2]: cooldown, t)]
+    outputs: [flags, pend_ctrl, pend_vals×C,
+    mean_last, dmin_lt, dmin_st, raw_lt, raw_st, T, v, R,
+    bg_sum×C, colors×C, descs×C (aliased)].
+    """
+    from tracking_tpu.ops.pallas_feedback import _core
+
+    def kernel(*refs):
+        def get_blk(c, di, dj):
+            return refs[9 * c + (di + 1) * 3 + (dj + 1)][...].astype(jnp.int32)
+
+        pb0 = 9 * C
+        own_vals = refs[pb0 : pb0 + C]
+        ctrl_ref = refs[pb0 + C]
+
+        def pend_blk(c, di, dj):
+            return refs[pb0 + C + 1 + 9 * c + (di + 1) * 3 + (dj + 1)][...]
+
+        base = pb0 + C + 1 + 9 * C
+        col_in = refs[base : base + C]
+        desc_in = refs[base + C : base + 2 * C]
+        b = base + 2 * C
+        delta_ref, r_ref, unst_ref, req_ref = refs[b : b + 4]
+        b += 4
+        last_color = refs[b : b + C]
+        last_desc = refs[b + C : b + 2 * C]
+        bits_refs = refs[b + 2 * C : b + 2 * C + 4]
+        b += 2 * C + 4
+        (lf_ref, bo_ref, lbm_ref, lraw_ref, ldi_ref) = refs[b : b + 5]
+        b += 5
+        f32_in = refs[b : b + 9]
+        fscal = refs[b + 9]
+        iscal = refs[b + 10]
+        outs = refs[b + 11 :]
+        flags_ref, pctrl_ref = outs[0], outs[1]
+        pvals_refs = outs[2 : 2 + C]
+        f32_out = outs[2 + C : 2 + C + 8]
+        bg_refs = outs[2 + C + 8 : 2 + 2 * C + 8]
+        colors = outs[2 + 2 * C + 8 : 2 + 3 * C + 8]
+        descs = outs[2 + 3 * C + 8 : 2 + 4 * C + 8]
+
+        # -- apply frame-(t−1)'s pending writes to the VMEM tiles ------------
+        bg = _apply_pending_stage(
+            C, N, ctrl_ref[...], own_vals, pend_blk,
+            col_in, desc_in, colors, descs, interp,
+        )
+        for c in range(C):
+            bg_refs[c][...] = bg[c]
+
+        # -- ROI + ROI-zeroed required from global coordinates ---------------
+        gi = pl.program_id(0) * BH + jax.lax.broadcasted_iota(
+            jnp.int32, (BH, BW), 0
+        )
+        gj = pl.program_id(1) * BW + jax.lax.broadcasted_iota(
+            jnp.int32, (BH, BW), 1
+        )
+        roi = (gi >= 2) & (gi <= H - 3) & (gj >= 2) & (gj <= W - 3)
+        req_true = req_ref[...]
+        req_eff = jnp.where(roi, req_true, 0)
+
+        count, mind, mins, px, intra = _consensus_values(
+            C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp,
+            get_blk, delta_ref[0, 0], r_ref[...], unst_ref[...], req_eff,
+            colors, descs,
+        )
+
+        # -- feedback epilogue (pallas_feedback._core, shared math) ----------
+        t = iscal[0, 1]
+        lc = [
+            jnp.where(t == 0, px[c], last_color[c][...].astype(jnp.int32))
+            for c in range(C)
+        ]
+        ld = [
+            jnp.where(t == 0, intra[c], last_desc[c][...].astype(jnp.int32))
+            for c in range(C)
+        ]
+        fb = _core(
+            count, mind, mins, req_true, roi.astype(jnp.int32),
+            tuple(px), tuple(intra), tuple(lc), tuple(ld),
+            [r[...].astype(jnp.int32) for r in bits_refs],
+            f32_in[0][...], f32_in[1][...], f32_in[2][...],
+            f32_in[3][...], f32_in[4][...], f32_in[5][...], f32_in[6][...],
+            r_ref[...], f32_in[7][...], f32_in[8][...],
+            lf_ref[...].astype(jnp.int32), bo_ref[...].astype(jnp.int32),
+            lbm_ref[...].astype(jnp.int32), lraw_ref[...].astype(jnp.int32),
+            ldi_ref[...].astype(jnp.int32),
+            fscal[0, 0], fscal[0, 1], fscal[0, 2], fscal[0, 3], iscal[0, 0],
+            C=C, N=N, use3x3_global=use3x3_global, k=k_consts,
+        )
+
+        flags_ref[...] = (
+            fb.is_fg
+            | (fb.unstable << 1)
+            | (fb.nz << 2)
+            | (fb.curr_blink << 3)
+            | (fb.blinks_pre << 4)
+        )
+        u3u = nb3_to_nb5_idx(fb.o3)
+        pctrl_ref[...] = pack_pending_ctrl(
+            fb.upd1, fb.slot1, u3u, fb.o5, fb.slot3, fb.slot5
+        )
+        fires = fb.fire3 | (fb.fire5 << 1)
+        for c in range(C):
+            v = px[c] | (intra[c] << 8)
+            if c == 0:
+                v = v | (fires << 24)
+            pvals_refs[c][...] = v
+        for ref, val in zip(
+            f32_out,
+            (fb.mean_last, fb.dmin_lt, fb.dmin_st, fb.raw_lt, fb.raw_st,
+             fb.T, fb.v, fb.R),
+        ):
+            ref[...] = val
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "rel", "div", "hi_const", "min_cd", "desc_off", "use3x3_global",
+        "k_consts", "interpret",
+    ),
+)
+def consensus_feedback_pallas(
+    planes,
+    colors,
+    descs,
+    pend_ctrl,
+    pend_vals,
+    lut_delta,
+    R,
+    unstable,
+    required,
+    last_color,
+    last_desc,
+    bits,
+    masks,      # (last_final, blinks_old, last_blink_mask, last_raw, last_dil_inv)
+    f32_state,  # (mean_last, dmin_lt, dmin_st, raw_lt, raw_st, final_lt, final_st, T, v)
+    scalars,    # (a_lt, a_st, lr_lower, lr_upper, cooldown, t)
+    rel: float,
+    div: float,
+    hi_const: float,
+    min_cd: int,
+    desc_off: int,
+    use3x3_global: bool,
+    k_consts,
+    interpret: bool = False,
+):
+    """Whole-step fused SuBSENSE kernel (see :func:`_make_fused_kernel`).
+
+    Tensor args as in :func:`consensus_pallas` plus the feedback-stage
+    state: last_color/last_desc C-tuples ([H, W] u8/u16), bits [4, H, W]
+    i32, masks 5-tuple of [H, W] u8 (0/255 or 0/1 — nonzero = set),
+    f32_state 9-tuple of [H, W] f32, scalars (f32 ×4, i32 cooldown, i32 t).
+    ``required`` is the TRUE per-pixel requirement (scalar or [H, W] map);
+    the ROI zeroing happens in-kernel. Returns
+    (flags, pend_ctrl_out, pend_vals_out ×C,
+     (mean_last, dmin_lt, dmin_st, raw_lt, raw_st, T, v, R),
+     bg_sum ×C, colors, descs)."""
+    C = len(planes)
+    N = colors[0].shape[0]
+    H, W = planes[0].shape
+    ph, pw = (-H) % BH, (-W) % BW
+
+    def pad2(a, dt=jnp.int32):
+        return jnp.pad(a.astype(dt) if dt else a, ((0, ph), (0, pw)))
+
+    def pad3(a):
+        return jnp.pad(a, ((0, 0), (0, ph), (0, pw)))
+
+    Hp, Wp = H + ph, W + pw
+    plane_views = tuple(
+        pb for p in planes for pb in (_pad_plane_blocks(p, Hp, Wp),) * 9
+    )
+    pend_views = tuple(
+        pb
+        for v in pend_vals
+        for pb in (_pad_plane_blocks(interior_rep(v), Hp, Wp),) * 9
+    )
+    a_lt, a_st, lr_lower, lr_upper, cooldown, t = scalars
+    args = (
+        plane_views
+        + tuple(pad2(v) for v in pend_vals)
+        + (pad2(pend_ctrl),)
+        + pend_views
+        + tuple(pad3(c) for c in colors)  # u8, native
+        + tuple(pad3(d) for d in descs)  # u16, native
+        + (lut_delta.astype(jnp.int32).reshape(1, 1),)
+        + (pad2(R, jnp.float32), pad2(unstable))
+        + (pad2(jnp.broadcast_to(jnp.asarray(required, jnp.int32), (H, W))),)
+        + tuple(pad2(c, None) for c in last_color)  # u8 native
+        + tuple(pad2(d, None) for d in last_desc)  # u16 native
+        + tuple(pad2(bits[i]) for i in range(4))
+        + tuple(pad2(m, jnp.uint8) for m in masks)
+        + tuple(pad2(f, jnp.float32) for f in f32_state)
+        + (
+            jnp.stack(
+                [jnp.float32(a_lt), jnp.float32(a_st),
+                 jnp.float32(lr_lower), jnp.float32(lr_upper)]
+            ).reshape(1, 4),
+            jnp.stack(
+                [jnp.asarray(cooldown, jnp.int32), jnp.asarray(t, jnp.int32)]
+            ).reshape(1, 2),
+        )
+    )
+
+    grid = (Hp // BH, Wp // BW)
+    spec2 = pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    spec_bank = pl.BlockSpec(
+        (N, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+    )
+    spec_d = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    spec_f4 = pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    spec_i2 = pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = (
+        _plane_block_specs() * C
+        + [spec2] * (C + 1)
+        + _plane_block_specs() * C
+        + [spec_bank] * (2 * C)
+        + [spec_d, spec2, spec2, spec2]
+        + [spec2] * (2 * C)  # last_color, last_desc
+        + [spec2] * 4  # bits
+        + [spec2] * 5  # masks
+        + [spec2] * 9  # f32 state
+        + [spec_f4, spec_i2]
+    )
+    n_bank_in = 9 * C + C + 1 + 9 * C  # index of the first bank input
+    n_map_out = 2 + C + 8 + C  # flags, ctrl, vals×C, f32×8, bg×C
+    out_shape = (
+        [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * (2 + C)
+        + [jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)] * 8
+        + [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * C
+        + [jax.ShapeDtypeStruct((N, Hp, Wp), colors[0].dtype)] * C
+        + [jax.ShapeDtypeStruct((N, Hp, Wp), descs[0].dtype)] * C
+    )
+    out_specs = [spec2] * n_map_out + [spec_bank] * (2 * C)
+    aliases = {n_bank_in + k: n_map_out + k for k in range(2 * C)}
+
+    kernel = _make_fused_kernel(
+        C, N, rel, div, hi_const, C == 1, min_cd, desc_off,
+        H, W, use3x3_global, k_consts, interpret,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)
+    flags = outs[0][:H, :W]
+    pctrl = outs[1][:H, :W]
+    pvals = tuple(o[:H, :W] for o in outs[2 : 2 + C])
+    f32_out = tuple(o[:H, :W] for o in outs[2 + C : 2 + C + 8])
+    bg_sum = tuple(o[:H, :W] for o in outs[2 + C + 8 : n_map_out])
+    new_colors = tuple(o[:, :H, :W] for o in outs[n_map_out : n_map_out + C])
+    new_descs = tuple(o[:, :H, :W] for o in outs[n_map_out + C :])
+    return flags, pctrl, pvals, f32_out, bg_sum, new_colors, new_descs
 
 
 def _make_lobster_kernel(

@@ -32,6 +32,7 @@ including this one — may swap labels.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -177,6 +178,19 @@ class BlobTracker:
         BIG = jnp.float32(1e9)
         cost = jnp.where(active[:, None] & blob_ok[None, :], cost, BIG)
         cost = jnp.where(cost <= cfg.gateDistance, cost, BIG)
+
+        # TPU: the whole greedy loop runs inside ONE Pallas kernel call
+        # (cost matrix in VMEM) — as an XLA while_loop each tiny iteration
+        # costs ~45 us of sequential op overhead (0.36 ms/frame measured).
+        # Bit-identical to the loop below (tests/test_track.py parity).
+        if jax.default_backend() == "tpu" or os.environ.get(
+            "TRACKING_TPU_ASSOC_INTERP"
+        ):
+            from tracking_tpu.ops.pallas_assoc import greedy_assign_pallas
+
+            return greedy_assign_pallas(
+                cost, interpret=jax.default_backend() != "tpu"
+            )
 
         # early-exit greedy: stop as soon as the global min is gated (every
         # later iteration would be a no-op) — typical frames assign ~5
