@@ -139,3 +139,32 @@ def test_spatial_exact_at_scaling_size():
         jax.tree_util.tree_leaves(st_sp), jax.tree_util.tree_leaves(st_un)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("name", ["SuBSENSEBGS", "LOBSTERBGS"])
+def test_spatial_pallas_kernel_exact(name):
+    """The sharded Pallas fast path (consensus kernel per shard on
+    halo-extended slabs, row_ext contract; TRACKING_TPU_SPATIAL=interp) is
+    bit-identical to the unsharded run — masks AND state, including the
+    multi-hop halo exchange (E=24 > h_loc=8 here spans 3 neighbor shards)."""
+    import os
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from tracking_tpu.parallel.spatial import run_video_spatial
+
+    mesh = make_mesh(8, stream=1)
+    frames = _spatial_stream(64, 48)
+    os.environ["TRACKING_TPU_SPATIAL"] = "interp"
+    try:
+        algo = get_algorithm(name)()
+        st_sp, masks_sp = run_video_spatial(algo, frames, mesh)
+    finally:
+        os.environ.pop("TRACKING_TPU_SPATIAL", None)
+    algo2 = get_algorithm(name)()
+    st_un, masks_un = run_video(algo2, frames)
+    np.testing.assert_array_equal(np.asarray(masks_sp), np.asarray(masks_un))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_sp), jax.tree_util.tree_leaves(st_un)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

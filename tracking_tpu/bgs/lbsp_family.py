@@ -528,18 +528,39 @@ class LOBSTER(BGSAlgorithm):
         # eager order; the bg image (bank mean, free from the apply loop)
         # lags the reference's by one frame of ≤2-slot writes.
         use_pallas = ctx is None and jax.default_backend() == "tpu"
-        if use_pallas:
+        spatial_env = os.environ.get("TRACKING_TPU_SPATIAL", "pallas")
+        use_spatial_pallas = ctx is not None and (
+            (jax.default_backend() == "tpu" and spatial_env != "xla")
+            or spatial_env == "interp"
+        )
+        if use_spatial_pallas:
+            from tracking_tpu.ops.pallas_consensus import BH as _KBH
+
+            _E = _KBH + ((-h) % _KBH)
+            if _E > ctx.n * h:
+                use_spatial_pallas = False
+        if use_pallas or use_spatial_pallas:
             from tracking_tpu.ops.pallas_consensus import consensus_lobster_pallas
 
+            if use_spatial_pallas:
+                k_planes = tuple(ctx.extend_plain(p, halo=_E) for p in planes)
+                k_vals = tuple(
+                    ctx.extend_border(v, halo=_E) for v in state["pend_vals"]
+                )
+                k_ext = int(_E)
+            else:
+                k_planes, k_vals, k_ext = planes, state["pend_vals"], 0
             count, k_intra, bg_sums, colors, descs = consensus_lobster_pallas(
-                planes, colors, descs,
-                state["pend_ctrl"], state["pend_vals"],
+                k_planes, colors, descs,
+                state["pend_ctrl"], k_vals,
                 rel=cfg.fRelLBSPThreshold,
                 offset=float(cfg.nLBSPThresholdOffset),
                 div=2.0 if c == 1 else 1.0,
                 c_sc=int(color_thr_sc), d_sc=int(desc_thr_sc),
                 c_tot=int(tot_color_thr), d_tot=int(tot_desc_thr),
                 req=int(required),
+                interpret=use_spatial_pallas and spatial_env == "interp",
+                row_ext=k_ext,
             )
             intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
         else:
@@ -834,7 +855,28 @@ class SuBSENSE(BGSAlgorithm):
         )
         use_pallas = on_tpu and not v2 and not use_fused
         use_pallas_v2 = on_tpu and v2  # walk-only kernel (pallas_consensus2)
-        any_kernel = use_pallas or use_pallas_v2 or use_fused
+        # spatial sharding: the SAME fused v1 kernel runs per shard on
+        # halo-extended plane/pending slabs with owned-size banks
+        # (consensus_pallas row_ext contract) — the sharded path is the
+        # Pallas fast path, not the XLA scan. TRACKING_TPU_SPATIAL=xla
+        # restores the XLA formulation; =interp forces the interpret-mode
+        # kernel on the CPU mesh (equality tests).
+        spatial_env = os.environ.get("TRACKING_TPU_SPATIAL", "pallas")
+        use_spatial_pallas = (
+            ctx is not None
+            and not v2
+            and (
+                (jax.default_backend() == "tpu" and spatial_env != "xla")
+                or spatial_env == "interp"
+            )
+        )
+        if use_spatial_pallas:
+            from tracking_tpu.ops.pallas_consensus import BH as _KBH
+
+            _E = _KBH + ((-h) % _KBH)  # row slice needs E ≥ BH + align pad
+            if _E > ctx.n * h:  # halo can't exceed the global height
+                use_spatial_pallas = False
+        any_kernel = use_pallas or use_pallas_v2 or use_fused or use_spatial_pallas
         R = state["R"]
         old_unstable = state["unstable"]
         if not any_kernel:
@@ -924,6 +966,34 @@ class SuBSENSE(BGSAlgorithm):
                     hi_const=float(np.rint(255 * cfg.fRelLBSPThreshold)),
                     min_cd=int(cfg.nMinColorDistThreshold),
                     desc_off=int(cfg.nDescDistThresholdOffset),
+                )
+            )
+            intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
+        elif use_spatial_pallas:
+            # per-shard fused kernel: planes/pending values ride E-row
+            # halo-extended slabs (contents carry the global clamp
+            # semantics), banks/maps stay owned-size; outputs are exactly
+            # the unsharded kernel's owned rows (tests/test_mesh.py
+            # equality on the CPU mesh, interpret mode)
+            from tracking_tpu.ops.pallas_consensus import consensus_pallas
+
+            planes_kext = tuple(ctx.extend_plain(p, halo=_E) for p in planes)
+            vals_kext = tuple(
+                ctx.extend_border(v, halo=_E) for v in state["pend_vals"]
+            )
+            count, min_desc, min_sum, k_intra, bg_sums, colors, descs = (
+                consensus_pallas(
+                    planes_kext, colors, descs,
+                    state["pend_ctrl"], vals_kext,
+                    state["lut_delta"], R, old_unstable,
+                    required=required_eff,
+                    rel=cfg.fRelLBSPThreshold,
+                    div=3.0 if c == 1 else 1.0,
+                    hi_const=float(np.rint(255 * cfg.fRelLBSPThreshold)),
+                    min_cd=int(cfg.nMinColorDistThreshold),
+                    desc_off=int(cfg.nDescDistThresholdOffset),
+                    interpret=spatial_env == "interp",
+                    row_ext=int(_E),
                 )
             )
             intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)

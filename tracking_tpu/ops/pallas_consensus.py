@@ -216,6 +216,26 @@ def _pad_plane_blocks(p, Hp, Wp):
     return jnp.pad(p, ((BH, Hp - H + BH), (BW, Wp - W + BW)), mode="edge")
 
 
+def _ext_plane_blocks(p_ext, E, Hp, Wp):
+    """Row-sharded twin of :func:`_pad_plane_blocks`: ``p_ext`` is a
+    [h_loc+2E, W] halo-extended slab whose halo rows already carry the
+    correct (clamped-)global contents (parallel/spatial.SpatialCtx), so the
+    row padding becomes a slice (E ≥ BH + row-alignment pad required);
+    columns are edge-padded exactly as in the unsharded path (W is never
+    sharded)."""
+    W = p_ext.shape[1]
+    rows = p_ext[E - BH : E - BH + Hp + 2 * BH]
+    return jnp.pad(rows, ((0, 0), (BW, Wp - W + BW)), mode="edge")
+
+
+def _interior_rep_cols(a, border: int = 2):
+    """Column-only :func:`interior_rep` (row clamping is already baked into
+    halo-extended slab contents by ``SpatialCtx.extend_border``)."""
+    return jnp.pad(
+        a[:, border:-border], ((0, 0), (border, border)), mode="edge"
+    )
+
+
 def _plane_block_specs():
     """9 shifted-block views of an edge-padded plane (center = (i+1, j+1))."""
     specs = []
@@ -613,7 +633,9 @@ def _make_read_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, int
 
 @partial(
     jax.jit,
-    static_argnames=("rel", "div", "hi_const", "min_cd", "desc_off", "interpret"),
+    static_argnames=(
+        "rel", "div", "hi_const", "min_cd", "desc_off", "interpret", "row_ext"
+    ),
 )
 def consensus_pallas(
     planes,
@@ -631,6 +653,7 @@ def consensus_pallas(
     min_cd: int,
     desc_off: int,
     interpret: bool = False,
+    row_ext: int = 0,
 ):
     """Fused consensus + deferred bank update. All tensor args are C-tuples:
     planes [H, W] u8, colors/descs [N, H, W] u8/u16 (donated; aliased to the
@@ -641,11 +664,24 @@ def consensus_pallas(
     the config threshold constants (thresholds are derived in-kernel).
     Returns (count, min_desc, min_sum, intra, bg_sum, colors, descs):
     i32 [H, W] maps (intra = C-tuple of 16-bit intra-frame LBSP descriptors,
-    bg_sum = C-tuple of post-apply bank color sums) and the updated banks."""
+    bg_sum = C-tuple of post-apply bank color sums) and the updated banks.
+
+    ``row_ext`` (spatial sharding, parallel/spatial.py): planes and
+    pend_vals arrive as [h_loc+2·row_ext, W] halo-extended slabs whose halo
+    rows carry clamped-global / border-clamped contents respectively
+    (``SpatialCtx.extend_plain`` / ``extend_border``); every other tensor is
+    owned-rows-only, and the kernel's row padding becomes a slice into the
+    halo (``row_ext ≥ BH + (-h_loc) % BH``). Banks stay owned-size — the
+    walk and the slot writes are per-pixel; only the frame/pending-value
+    stencils reach across rows."""
     C = len(planes)
     N = colors[0].shape[0]
-    H, W = planes[0].shape
+    if row_ext:
+        H, W = planes[0].shape[0] - 2 * row_ext, planes[0].shape[1]
+    else:
+        H, W = planes[0].shape
     ph, pw = (-H) % BH, (-W) % BW
+    assert not row_ext or row_ext >= BH + ph, (row_ext, BH, ph)
 
     def pad2(a):
         return jnp.pad(a.astype(jnp.int32), ((0, ph), (0, pw)))
@@ -655,17 +691,30 @@ def consensus_pallas(
 
     Hp, Wp = H + ph, W + pw
     # one input entry per block view (same device buffer 9×, no copies)
-    plane_views = tuple(
-        pb for p in planes for pb in (_pad_plane_blocks(p, Hp, Wp),) * 9
-    )
-    pend_views = tuple(
-        pb
-        for v in pend_vals
-        for pb in (_pad_plane_blocks(interior_rep(v), Hp, Wp),) * 9
-    )
+    if row_ext:
+        E = row_ext
+        plane_views = tuple(
+            pb for p in planes for pb in (_ext_plane_blocks(p, E, Hp, Wp),) * 9
+        )
+        pend_views = tuple(
+            pb
+            for v in pend_vals
+            for pb in (_ext_plane_blocks(_interior_rep_cols(v), E, Hp, Wp),) * 9
+        )
+        own_pend = tuple(v[E : E + H] for v in pend_vals)
+    else:
+        plane_views = tuple(
+            pb for p in planes for pb in (_pad_plane_blocks(p, Hp, Wp),) * 9
+        )
+        pend_views = tuple(
+            pb
+            for v in pend_vals
+            for pb in (_pad_plane_blocks(interior_rep(v), Hp, Wp),) * 9
+        )
+        own_pend = pend_vals
     args = (
         plane_views
-        + tuple(pad2(v) for v in pend_vals)
+        + tuple(pad2(v) for v in own_pend)
         + (pad2(pend_ctrl),)
         + pend_views
         + tuple(pad3(c) for c in colors)  # u8, native
@@ -1199,7 +1248,7 @@ def _make_lobster_kernel(
     jax.jit,
     static_argnames=(
         "rel", "offset", "div", "c_sc", "d_sc", "c_tot", "d_tot", "req",
-        "interpret",
+        "interpret", "row_ext",
     ),
 )
 def consensus_lobster_pallas(
@@ -1217,16 +1266,22 @@ def consensus_lobster_pallas(
     d_tot: int,
     req: int,
     interpret: bool = False,
+    row_ext: int = 0,
 ):
     """Fused LOBSTER consensus + deferred bank update; thresholds are
     compile-time constants (config scalars). Tensor args are C-tuples (same
-    layouts as ``consensus_pallas``; banks donated/aliased). Returns
+    layouts as ``consensus_pallas``; banks donated/aliased; ``row_ext`` is
+    the same spatial-sharding contract). Returns
     (count [H, W] i32, intra C-tuple of i32 descriptors, bg_sum C-tuple of
     i32 post-apply color sums, colors, descs)."""
     C = len(planes)
     N = colors[0].shape[0]
-    H, W = planes[0].shape
+    if row_ext:
+        H, W = planes[0].shape[0] - 2 * row_ext, planes[0].shape[1]
+    else:
+        H, W = planes[0].shape
     ph, pw = (-H) % BH, (-W) % BW
+    assert not row_ext or row_ext >= BH + ph, (row_ext, BH, ph)
 
     def pad2(a):
         return jnp.pad(a.astype(jnp.int32), ((0, ph), (0, pw)))
@@ -1235,17 +1290,30 @@ def consensus_lobster_pallas(
         return jnp.pad(a, ((0, 0), (0, ph), (0, pw)))
 
     Hp, Wp = H + ph, W + pw
-    plane_views = tuple(
-        pb for p in planes for pb in (_pad_plane_blocks(p, Hp, Wp),) * 9
-    )
-    pend_views = tuple(
-        pb
-        for v in pend_vals
-        for pb in (_pad_plane_blocks(interior_rep(v), Hp, Wp),) * 9
-    )
+    if row_ext:
+        E = row_ext
+        plane_views = tuple(
+            pb for p in planes for pb in (_ext_plane_blocks(p, E, Hp, Wp),) * 9
+        )
+        pend_views = tuple(
+            pb
+            for v in pend_vals
+            for pb in (_ext_plane_blocks(_interior_rep_cols(v), E, Hp, Wp),) * 9
+        )
+        own_pend = tuple(v[E : E + H] for v in pend_vals)
+    else:
+        plane_views = tuple(
+            pb for p in planes for pb in (_pad_plane_blocks(p, Hp, Wp),) * 9
+        )
+        pend_views = tuple(
+            pb
+            for v in pend_vals
+            for pb in (_pad_plane_blocks(interior_rep(v), Hp, Wp),) * 9
+        )
+        own_pend = pend_vals
     args = (
         plane_views
-        + tuple(pad2(v) for v in pend_vals)
+        + tuple(pad2(v) for v in own_pend)
         + (pad2(pend_ctrl),)
         + pend_views
         + tuple(pad3(c) for c in colors)  # u8, native

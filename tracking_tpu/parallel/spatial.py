@@ -62,7 +62,7 @@ class SpatialCtx:
         self.halo = halo
         self.h_loc = h_global // n_shards
         assert h_global % n_shards == 0, (h_global, n_shards)
-        assert halo <= self.h_loc, "halo must fit in one neighbor slab"
+        assert halo <= self.n * self.h_loc, "halo exceeds the global height"
         self.idx = jax.lax.axis_index(axis)
         self.row0 = self.idx * self.h_loc
 
@@ -70,6 +70,22 @@ class SpatialCtx:
     def _ppermute(self, x, shift: int):
         perm = [(i, i + shift) for i in range(self.n) if 0 <= i + shift < self.n]
         return jax.lax.ppermute(x, self.axis, perm)
+
+    def _halo_band(self, x, hl: int, top: bool):
+        """The ``hl`` rows directly above (``top``) / below my slab, gathered
+        from as many neighbor shards as the band spans (multi-hop ppermute
+        when ``hl > h_loc``); rows outside the global range arrive as the
+        ppermute zero-fill and are fixed up by the caller's edge clamp."""
+        hops = -(-hl // self.h_loc)
+        parts = []
+        r = hl - (hops - 1) * self.h_loc  # rows taken from the farthest hop
+        for k in range(hops, 0, -1):
+            if k == hops:
+                band = x[..., -r:, :] if top else x[..., :r, :]
+            else:
+                band = x
+            parts.append(self._ppermute(band, +k if top else -k))
+        return jnp.concatenate(parts if top else parts[::-1], axis=-2)
 
     def psum(self, x):
         return jax.lax.psum(x, self.axis)
@@ -83,46 +99,53 @@ class SpatialCtx:
         return jax.lax.dynamic_slice_in_dim(x_full, self.row0, self.h_loc, axis=x_full.ndim - 2)
 
     # -- halo construction -------------------------------------------------
-    def extend_plain(self, x):
+    def extend_plain(self, x, halo: Optional[int] = None):
         """[..., h_loc, W] → [..., h_loc+2·halo, W] with row y holding
-        ``global[clip(row0-halo+y, 0, H-1)]`` (edge-clamp semantics)."""
-        hl = self.halo
-        top = self._ppermute(x[..., -hl:, :], +1)  # from the previous shard
-        bot = self._ppermute(x[..., :hl, :], -1)  # from the next shard
-        ext = jnp.concatenate([top, x, bot], axis=-2)
+        ``global[clip(row0-halo+y, 0, H-1)]`` (edge-clamp semantics).
+        ``halo`` may exceed ``h_loc`` (multi-hop ppermute)."""
+        hl = self.halo if halo is None else halo
+        ext = jnp.concatenate(
+            [self._halo_band(x, hl, True), x, self._halo_band(x, hl, False)],
+            axis=-2,
+        )
         gy = (self.row0 - hl) + jnp.arange(ext.shape[-2])
         gy = gy.reshape((-1, 1))
-        # global edges: ppermute filled with zeros there; replicate the true
-        # edge rows (predicates are only ever true on the shard that owns
-        # the edge, where the static index is correct)
-        first = ext[..., hl : hl + 1, :]
-        last = ext[..., hl + self.h_loc - 1 : hl + self.h_loc, :]
+        eh = ext.shape[-2]
+        # global edges: the ppermute zero-fill there is replaced by the true
+        # global edge rows 0 / H-1 — any shard with out-of-globe rows also
+        # holds the edge row inside its ext (contiguity), at a traced index
+        i_zero = jnp.clip(hl - self.row0, 0, eh - 1)
+        i_last = jnp.clip(hl + (self.H - 1) - self.row0, 0, eh - 1)
+        first = jax.lax.dynamic_slice_in_dim(ext, i_zero, 1, axis=ext.ndim - 2)
+        last = jax.lax.dynamic_slice_in_dim(ext, i_last, 1, axis=ext.ndim - 2)
         ext = jnp.where(gy < 0, first, ext)
         ext = jnp.where(gy > self.H - 1, last, ext)
         return ext
 
-    def extend_border(self, x, border: int = 2):
+    def extend_border(self, x, border: int = 2, halo: Optional[int] = None):
         """Like :meth:`extend_plain` but with the LBSP-ROI clamp
         ``clip(·, border, H-1-border)`` baked into the contents."""
-        ext = self.extend_plain(x)
+        hl = self.halo if halo is None else halo
+        ext = self.extend_plain(x, halo=hl)
         b = border
-        gy = (self.row0 - self.halo) + jnp.arange(ext.shape[-2])
+        gy = (self.row0 - hl) + jnp.arange(ext.shape[-2])
         gy = gy.reshape((-1, 1))
         eh = ext.shape[-2]
         # global rows b and H-1-b live at traced local indices; clamp keeps
         # the slice legal on shards that don't contain them (their predicate
         # is false everywhere, so the value is unused)
-        i_top = jnp.clip(self.halo + b - self.row0, 0, eh - 1)
-        i_bot = jnp.clip(self.halo + (self.H - 1 - b) - self.row0, 0, eh - 1)
+        i_top = jnp.clip(hl + b - self.row0, 0, eh - 1)
+        i_bot = jnp.clip(hl + (self.H - 1 - b) - self.row0, 0, eh - 1)
         row_b = jax.lax.dynamic_slice_in_dim(ext, i_top, 1, axis=ext.ndim - 2)
         row_hb = jax.lax.dynamic_slice_in_dim(ext, i_bot, 1, axis=ext.ndim - 2)
         ext = jnp.where(gy < b, row_b, ext)
         ext = jnp.where(gy > self.H - 1 - b, row_hb, ext)
         return ext
 
-    def crop(self, ext):
+    def crop(self, ext, halo: Optional[int] = None):
         """Extended slab → owned rows."""
-        return ext[..., self.halo : self.halo + self.h_loc, :]
+        hl = self.halo if halo is None else halo
+        return ext[..., hl : hl + self.h_loc, :]
 
     def shift_ext(self, ext_border, dy: int, dx: int, border: int = 2):
         """``_shift_clamped`` twin on a border-extended slab: returns the
