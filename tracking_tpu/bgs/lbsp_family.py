@@ -615,9 +615,11 @@ class LOBSTER(BGSAlgorithm):
         if ctx is None:
             final = binary_median_blur(raw_fg, DEFAULT_MEDIAN_KSIZE)
         else:
-            final = ctx.own_rows(
-                binary_median_blur(ctx.gather_rows(raw_fg), DEFAULT_MEDIAN_KSIZE)
-            )
+            # bounded stencil: ride a halo slab (edge-replicate border =
+            # the extension's clamped contents) instead of an all_gather
+            mr = DEFAULT_MEDIAN_KSIZE // 2
+            ext = ctx.extend_plain(raw_fg, halo=mr)
+            final = binary_median_blur(ext, DEFAULT_MEDIAN_KSIZE)[mr : mr + h]
 
         bg_planes = tuple(
             jnp.rint(bg_sums[ci].astype(jnp.float32) / N).astype(jnp.uint8)
@@ -1242,23 +1244,25 @@ class SuBSENSE(BGSAlgorithm):
         # post-proc share of the step).
         curr_blink = fb.curr_blink  # xor of raw masks
         if ctx is None:
-            raw_full, is_fg_full = raw_fg, is_fg
+            pre_flood = morph_close(raw_fg, 3)
+            filled = fill_holes(pre_flood, seed="corner")
+            holes = (filled > 0) & ~(pre_flood > 0)
+            pre_flood_eroded = erode(erode(erode(pre_flood, 3), 3), 3)
+            fg1 = jnp.where(
+                is_fg | holes | (pre_flood_eroded > 0),
+                jnp.uint8(255), jnp.uint8(0),
+            )
+            final = binary_median_blur(fg1, median_ksize)
+            dil_inv = ~(dilate(dilate(dilate(final, 3), 3), 3) > 0)
         else:
-            raw_full = ctx.gather_rows(raw_fg)
-            is_fg_full = ctx.gather_rows(is_fg)
-        pre_flood = morph_close(raw_full, 3)
-        filled = fill_holes(pre_flood, seed="corner")
-        holes = (filled > 0) & ~(pre_flood > 0)
-        pre_flood_eroded = erode(erode(erode(pre_flood, 3), 3), 3)
-        fg1 = jnp.where(is_fg_full | holes | (pre_flood_eroded > 0), jnp.uint8(255), jnp.uint8(0))
-        final_full = binary_median_blur(fg1, median_ksize)
-        final_dilated = dilate(dilate(dilate(final_full, 3), 3), 3) > 0
-        dil_inv_full = ~final_dilated
-        if ctx is None:
-            final, dil_inv = final_full, dil_inv_full
-        else:
-            final = ctx.own_rows(final_full)
-            dil_inv = ctx.own_rows(dil_inv_full)
+            # row-sharded chain: bounded stencils on halo slabs with the
+            # ops' border semantics baked into out-of-globe rows; the
+            # flood fill runs cross-shard injection rounds. Bit-exact vs
+            # the unsharded chain (tests/test_mesh.py) — the round-2
+            # all_gather-replicated tail is gone.
+            from tracking_tpu.parallel.spatial import sharded_postproc
+
+            final, dil_inv = sharded_postproc(ctx, raw_fg, is_fg, median_ksize)
         # fb.blinks_pre = (curr_blink | last_blink_mask) & STALE inverted
         # mask (:637); the fresh inverted mask applies after post-proc (:639)
         blinks = fb.blinks_pre & dil_inv
@@ -1290,7 +1294,7 @@ class SuBSENSE(BGSAlgorithm):
             else:
                 planes_full = tuple(ctx.gather_rows(p) for p in planes)
                 intra_full = tuple(ctx.gather_rows(d) for d in intra_desc)
-                final_fg_full = final_full > 0
+                final_fg_full = ctx.gather_rows(final) > 0
             dsh, dsw = H // DOWNSAMPLE_RATIO, w // DOWNSAMPLE_RATIO
             ds = tuple(
                 jnp.mean(

@@ -91,12 +91,44 @@ def label_components(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
     fg = mask > 0
     iota = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
     lab = jnp.where(fg, iota, big)
+    lab = label_fixpoint(fg, lab, big, connectivity)
+    return jnp.where(fg, lab, -1)
+
+
+def label_fixpoint(
+    fg: jnp.ndarray,
+    lab0: jnp.ndarray,
+    big: int,
+    connectivity: int = 8,
+    base: int | jnp.ndarray = 0,
+) -> jnp.ndarray:
+    """Min-label fixpoint from arbitrary initial labels (the CC core, shared
+    by :func:`label_components` and the spatially-sharded labeling in
+    parallel/spatial.py).
+
+    ``lab0`` values form any total order consistent with row-major pixel
+    order; background carries ``big``. ``base``: when labels are GLOBAL
+    linear indices on a row-sharded slab, the pointer-jumping compression
+    can only follow labels that point inside this slab — ``base`` is the
+    slab's first global index; out-of-slab labels pass through uncompressed
+    (min propagation still converges to the unique component minimum).
+    """
+    H, W = fg.shape
+    if jax.default_backend() == "tpu" and fg.ndim == 2:
+        from tracking_tpu.ops.pallas_cc import label_fixpoint_pallas
+
+        return label_fixpoint_pallas(fg, lab0, big, connectivity)
+
     se = _SE8 if connectivity == 8 else _SE4
+    n_loc = H * W
 
     def compress(lab):
         flat = lab.reshape(-1)
         flat_ext = jnp.concatenate([flat, jnp.array([big], jnp.int32)])
-        return flat_ext[jnp.clip(lab, 0, big)].reshape(H, W)
+        loc = lab - base
+        ok = (loc >= 0) & (loc < n_loc)
+        comp = flat_ext[jnp.where(ok, loc, n_loc)].reshape(H, W)
+        return jnp.where(ok, comp, big)
 
     def body(carry):
         lab, _ = carry
@@ -112,8 +144,8 @@ def label_components(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
     def cond(carry):
         return carry[1]
 
-    lab, _ = jax.lax.while_loop(cond, body, (lab, jnp.array(True)))
-    return jnp.where(fg, lab, -1)
+    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.array(True)))
+    return lab
 
 
 class Blobs(NamedTuple):
@@ -188,28 +220,46 @@ def _extract_blobs_mxu(lab, max_blobs: int, n_cand: int = 128) -> Blobs:
     oh = (lab[:, :, None] == roots[None, None, :]).astype(jnp.float32)
     cnt_rk = jnp.einsum("hwk,w->hk", oh, jnp.ones((W,), jnp.float32))
     cnt_wk = jnp.einsum("hwk,h->wk", oh, jnp.ones((H,), jnp.float32))
-    ys = jnp.arange(H, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)
-    area = jnp.sum(cnt_rk, axis=0).astype(jnp.int32)
-    sy = jnp.sum(cnt_rk * ys[:, None], axis=0)
-    sx = jnp.sum(cnt_wk * xs[:, None], axis=0)
-    pr = cnt_rk > 0
-    pw_ = cnt_wk > 0
-    y0 = (H - 1) - jnp.max(
-        jnp.where(pr, (H - 1) - ys[:, None].astype(jnp.int32), -1), axis=0
-    )
-    y1 = jnp.max(jnp.where(pr, ys[:, None].astype(jnp.int32), -1), axis=0)
-    x0 = (W - 1) - jnp.max(
-        jnp.where(pw_, (W - 1) - xs[:, None].astype(jnp.int32), -1), axis=0
-    )
-    x1 = jnp.max(jnp.where(pw_, xs[:, None].astype(jnp.int32), -1), axis=0)
+    rows = blob_row_moments(cnt_rk, jnp.arange(H, dtype=jnp.int32), H)
+    return blob_finalize(rows, cnt_wk, roots, H, W)
+
+
+def blob_row_moments(cnt_rk, ys: jnp.ndarray, H: int):
+    """Row-axis blob moments (area, Σy, bbox-y maxes) from a per-row count
+    matrix [rows, K] whose rows cover global rows ``ys``.
+
+    All values are exact integers accumulated in i32 — exact AND
+    addition-order-free, so the spatially-sharded caller psums per-shard
+    partials and lands on bit-identical results (the f32 sums this replaces
+    were already rounding for blobs with coordinate sums > 2²⁴). The bbox
+    mins are encoded as maxes ((H−1)−max((H−1)−y) == min y, empty → H) so
+    partials combine with one pmax."""
+    cnt = cnt_rk.astype(jnp.int32)
+    pr = cnt > 0
+    area = jnp.sum(cnt, axis=0)
+    sy = jnp.sum(cnt * ys[:, None], axis=0)
+    ny0 = jnp.max(jnp.where(pr, (H - 1) - ys[:, None], -1), axis=0)
+    y1 = jnp.max(jnp.where(pr, ys[:, None], -1), axis=0)
+    return area, sy, ny0, y1
+
+
+def blob_finalize(rows, cnt_wk, roots, H: int, W: int) -> Blobs:
+    """Blob table from combined row moments + full column counts [W, K]."""
+    area, sy, ny0, y1 = rows
+    xs = jnp.arange(W, dtype=jnp.int32)
+    cnt_w = cnt_wk.astype(jnp.int32)
+    pw_ = cnt_w > 0
+    sx = jnp.sum(cnt_w * xs[:, None], axis=0)
+    y0 = (H - 1) - ny0
+    x0 = (W - 1) - jnp.max(jnp.where(pw_, (W - 1) - xs[:, None], -1), axis=0)
+    x1 = jnp.max(jnp.where(pw_, xs[:, None], -1), axis=0)
 
     ok = area > 0
     inv_a = 1.0 / jnp.maximum(area.astype(jnp.float32), 1.0)
     return Blobs(
         area=jnp.where(ok, area, 0),
-        cx=jnp.where(ok, sx * inv_a, 0.0),
-        cy=jnp.where(ok, sy * inv_a, 0.0),
+        cx=jnp.where(ok, sx.astype(jnp.float32) * inv_a, 0.0),
+        cy=jnp.where(ok, sy.astype(jnp.float32) * inv_a, 0.0),
         x0=jnp.where(ok, x0, 0),
         y0=jnp.where(ok, y0, 0),
         x1=jnp.where(ok, x1, -1),
@@ -232,16 +282,17 @@ def extract_blobs(
     valid = flat >= 0
     idx = jnp.where(valid, flat, n)  # background scatters into the overflow bin
 
-    ys = (jnp.arange(n, dtype=jnp.int32) // W).astype(jnp.float32)
-    xs = (jnp.arange(n, dtype=jnp.int32) % W).astype(jnp.float32)
+    ys = jnp.arange(n, dtype=jnp.int32) // W
+    xs = jnp.arange(n, dtype=jnp.int32) % W
 
+    # moment sums in i32 (exact + order-free), matching _extract_blobs_mxu
     area = jnp.zeros(n + 1, jnp.int32).at[idx].add(1)
-    sx = jnp.zeros(n + 1, jnp.float32).at[idx].add(xs)
-    sy = jnp.zeros(n + 1, jnp.float32).at[idx].add(ys)
-    bx0 = jnp.full(n + 1, W, jnp.int32).at[idx].min(xs.astype(jnp.int32))
-    by0 = jnp.full(n + 1, H, jnp.int32).at[idx].min(ys.astype(jnp.int32))
-    bx1 = jnp.full(n + 1, -1, jnp.int32).at[idx].max(xs.astype(jnp.int32))
-    by1 = jnp.full(n + 1, -1, jnp.int32).at[idx].max(ys.astype(jnp.int32))
+    sx = jnp.zeros(n + 1, jnp.int32).at[idx].add(xs)
+    sy = jnp.zeros(n + 1, jnp.int32).at[idx].add(ys)
+    bx0 = jnp.full(n + 1, W, jnp.int32).at[idx].min(xs)
+    by0 = jnp.full(n + 1, H, jnp.int32).at[idx].min(ys)
+    bx1 = jnp.full(n + 1, -1, jnp.int32).at[idx].max(xs)
+    by1 = jnp.full(n + 1, -1, jnp.int32).at[idx].max(ys)
 
     area = area.at[n].set(0)  # drop the background bin
     top_area, top_idx = jax.lax.top_k(area, max_blobs)
@@ -249,8 +300,8 @@ def extract_blobs(
     inv_a = 1.0 / jnp.maximum(top_area.astype(jnp.float32), 1.0)
     return Blobs(
         area=jnp.where(ok, top_area, 0),
-        cx=jnp.where(ok, sx[top_idx] * inv_a, 0.0),
-        cy=jnp.where(ok, sy[top_idx] * inv_a, 0.0),
+        cx=jnp.where(ok, sx[top_idx].astype(jnp.float32) * inv_a, 0.0),
+        cy=jnp.where(ok, sy[top_idx].astype(jnp.float32) * inv_a, 0.0),
         x0=jnp.where(ok, bx0[top_idx], 0),
         y0=jnp.where(ok, by0[top_idx], 0),
         x1=jnp.where(ok, bx1[top_idx], -1),

@@ -264,3 +264,72 @@ def label_components_pallas(
     y, x = lab // (W + pw), lab % (W + pw)
     out = y * W + x
     return jnp.where(lab >= bigp, -1, out)
+
+
+@partial(jax.jit, static_argnames=("big", "connectivity", "interpret"))
+def label_fixpoint_pallas(
+    fg: jnp.ndarray,
+    lab0: jnp.ndarray,
+    big: int,
+    connectivity: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Min-label fixpoint from ARBITRARY initial labels (cc.label_fixpoint's
+    TPU twin, used by the spatially-sharded CC in parallel/spatial.py where
+    label values are global row-major indices over the full image and
+    boundary rows arrive freshly injected from neighbor shards).
+
+    ``lab0``: [H, W] i32, any row-major-order-consistent values < ``big``;
+    background must carry ``big``. Every raster pass runs with first=1 on
+    the opening pass — injected labels make tiles enter locally UNconverged,
+    which the in-kernel injection-skip (tuned for self-seeded iota labels)
+    must not skip. Returns the fixpoint with background still at ``big``.
+    """
+    H, W = fg.shape
+    conn8 = connectivity == 8
+    ph, pw = (-H) % BH, (-W) % BW
+    fgp = jnp.pad(fg > 0, ((0, ph), (0, pw)))
+    lab = jnp.where(fgp, jnp.pad(lab0, ((0, ph), (0, pw)), constant_values=big), big)
+
+    def round_(lab, it):
+        lab = _raster_pass(lab, big, conn8, interpret, (it == 0).astype(jnp.int32))
+        lab = jnp.flip(
+            _raster_pass(jnp.flip(lab, (0, 1)), big, conn8, interpret, 0),
+            (0, 1),
+        )
+        return lab
+
+    def at_fixed_point(lab):
+        m = jnp.where(lab >= big, big, 0)
+        best = lab
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy == 0 and dx == 0) or (not conn8 and dy != 0 and dx != 0):
+                    continue
+                s = jnp.roll(lab, (dy, dx), (0, 1))
+                iy = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
+                ix = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 1)
+                oob = jnp.zeros_like(lab, jnp.bool_)
+                if dy > 0:
+                    oob |= iy < dy
+                elif dy < 0:
+                    oob |= iy >= lab.shape[0] + dy
+                if dx > 0:
+                    oob |= ix < dx
+                elif dx < 0:
+                    oob |= ix >= lab.shape[1] + dx
+                best = jnp.minimum(best, jnp.where(oob, big, s))
+        return ~jnp.any(jnp.minimum(best + m, big) < lab)
+
+    def body(state):
+        lab, _, it = state
+        new = round_(lab, it)
+        return new, ~at_fixed_point(new), it + 1
+
+    def cond(state):
+        return state[1] & (state[2] < 16)
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (lab, jnp.bool_(True), jnp.zeros((), jnp.int32))
+    )
+    return lab[:H, :W]

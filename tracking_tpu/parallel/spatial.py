@@ -23,21 +23,26 @@ Design (exactness argument in each piece):
   (``_shift_clamped``'s border crop) into the halo contents the same way;
   ``shift_ext`` then realizes ``S(y,x) = x[clip(y-dy,2,H-3),
   clip(x-dx,2,W-3)]`` as a static row slice + the usual column crop/pad.
-- Global operations — flood-fill hole filling (border-connected
-  propagation is unbounded) and the frame-level reductions — run on
-  ``all_gather``-ed full masks, replicated per chip. A 720p u8 mask is
-  ~0.9 MB over ICI; post-processing is ~15% of the step, so the scaling
-  loss is Amdahl-bounded and the masks stay bit-identical to the
-  unsharded chain (same code on the same full array).
+- The post-processing chain is row-sharded too (:func:`sharded_postproc`):
+  every bounded stencil (close, erode³, median, dilate³) rides a
+  halo-extended slab whose out-of-globe rows carry that op's OpenCV
+  border semantics, and the one *unbounded* op — flood-fill hole filling
+  — runs as per-shard reach fixpoints with single-row boundary-injection
+  rounds and a psum'd convergence flag (:func:`sharded_fill`). The one
+  all_gather left in the per-frame loop is the frame-level motion
+  analysis' plane/descriptor gather (lbsp_family.py ``scaling`` block) —
+  accounted in PERF.md's multi-chip budget.
 - RNG fields are drawn at *global* shape from the replicated key and
   row-sliced, so every pixel sees the same draw as the unsharded run —
   this is what makes the sharded masks equal bit-for-bit, not just
   statistically.
 
-The consensus compute inside the shard runs the XLA formulation (the
-Pallas fast path currently assumes chip-local global borders and aliased
-full-size bank buffers; an ext-bank variant — banks carried at slab+halo
-size with never-read halo rows — is the planned follow-up).
+The consensus compute inside the shard runs the fused Pallas kernel by
+default on TPU (row_ext contract: planes/pending maps arrive as
+halo-extended slabs, banks stay owned-size; ``TRACKING_TPU_SPATIAL=xla``
+restores the scan formulation, ``=interp`` forces the interpret kernel
+on the CPU mesh). See PERF.md "Multi-chip budget" for the per-chip
+ms/frame table this design targets.
 """
 
 from __future__ import annotations
@@ -65,6 +70,14 @@ class SpatialCtx:
         assert halo <= self.n * self.h_loc, "halo exceeds the global height"
         self.idx = jax.lax.axis_index(axis)
         self.row0 = self.idx * self.h_loc
+        # axes for data-dependent convergence flags (sharded_fill): on a
+        # combined stream x space mesh this must span ALL mesh axes so every
+        # device runs the same number of collective rounds — divergent
+        # while_loop trip counts across independent subgroups abort XLA:CPU's
+        # in-process rendezvous (and stagger real-TPU ICI phases for nothing:
+        # the extra rounds on already-converged subgroups are no-op fixpoint
+        # re-confirmations).
+        self.conv_axes: tuple = (axis,)
 
     # -- collectives -------------------------------------------------------
     def _ppermute(self, x, shift: int):
@@ -162,6 +175,43 @@ class SpatialCtx:
         xs = max(-pl, 0)
         return out[..., xs : xs + w]
 
+    def extend_const(self, x, halo: int, const=0):
+        """Like :meth:`extend_plain` but out-of-globe rows hold ``const`` —
+        the halo form of OpenCV's BORDER_CONSTANT morphology padding
+        (erode pads 255, dilate pads 0)."""
+        hl = halo
+        ext = jnp.concatenate(
+            [self._halo_band(x, hl, True), x, self._halo_band(x, hl, False)],
+            axis=-2,
+        )
+        gy = (self.row0 - hl) + jnp.arange(ext.shape[-2])
+        gy = gy.reshape((-1, 1))
+        out = (gy < 0) | (gy > self.H - 1)
+        return jnp.where(out, jnp.asarray(const, ext.dtype), ext)
+
+    def out_globe(self, halo: int, h_rows: Optional[int] = None):
+        """[rows, 1] bool: which rows of a halo-``halo`` slab lie outside
+        the global image."""
+        rows = self.h_loc + 2 * halo if h_rows is None else h_rows
+        gy = (self.row0 - halo) + jnp.arange(rows)
+        gy = gy.reshape((-1, 1))
+        return (gy < 0) | (gy > self.H - 1)
+
+    def clamp_rows(self, ext, halo: int):
+        """Overwrite a slab's out-of-globe rows with the global edge rows
+        (row 0 / row H−1) — realizes edge-replicate semantics for values
+        COMPUTED on the slab (e.g. the median input fg1)."""
+        gy = (self.row0 - halo) + jnp.arange(ext.shape[-2])
+        gy = gy.reshape((-1, 1))
+        eh = ext.shape[-2]
+        i_zero = jnp.clip(halo - self.row0, 0, eh - 1)
+        i_last = jnp.clip(halo + (self.H - 1) - self.row0, 0, eh - 1)
+        first = jax.lax.dynamic_slice_in_dim(ext, i_zero, 1, axis=ext.ndim - 2)
+        last = jax.lax.dynamic_slice_in_dim(ext, i_last, 1, axis=ext.ndim - 2)
+        ext = jnp.where(gy < 0, first, ext)
+        ext = jnp.where(gy > self.H - 1, last, ext)
+        return ext
+
     # -- global-consistent pieces -----------------------------------------
     def roi(self, w: int, border: int = 2):
         """Owned rows of the global LBSP ROI (2-px border excluded)."""
@@ -178,6 +228,220 @@ class SpatialCtx:
         return jax.lax.dynamic_slice_in_dim(
             full_field, self.row0, self.h_loc, axis=full_field.ndim - 2
         )
+
+
+def sharded_fill(ctx: SpatialCtx, mask_own: jnp.ndarray) -> jnp.ndarray:
+    """Row-sharded flood-fill hole filling, exact vs ``ops.morphology.
+    fill_holes(mask, seed="corner")`` (``cv::floodFill(Point(0,0))`` parity,
+    ``BackgroundSubtractorSuBSENSE.cpp:630``).
+
+    Each round runs the LOCAL reach fixpoint per shard (the same raster
+    Pallas kernel / line-sweep formulation as unsharded), then exchanges ONE
+    boundary row with each neighbor (4-connectivity across a row cut is
+    same-column only) and re-converges; a psum'd convergence flag ends the
+    loop. Rounds are data-dependent (the mask's cross-shard spiral depth —
+    1-2 on real masks); the fixpoint is unique, so any schedule reaches the
+    same set the unsharded sweep does."""
+    from tracking_tpu.ops.morphology import reach_fixpoint
+
+    fg = mask_own > 0
+    bg = ~fg
+    h, w = mask_own.shape
+    seed = (
+        (ctx.row0 + jnp.arange(h) == 0)[:, None]
+        & (jnp.arange(w) == 0)[None, :]
+    )
+    reach0 = seed & bg
+
+    def body(carry):
+        reach, _ = carry
+        reach = reach_fixpoint(bg, reach)
+        up = ctx._ppermute(reach[-1:], +1)  # prev shard's last row
+        dn = ctx._ppermute(reach[:1], -1)  # next shard's first row
+        row0_new = reach[:1] | (bg[:1] & up)
+        rowl_new = reach[-1:] | (bg[-1:] & dn)
+        new = jnp.concatenate([row0_new, reach[1:-1], rowl_new], axis=0)
+        changed = jax.lax.psum(
+            jnp.any(new != reach).astype(jnp.int32), ctx.conv_axes
+        )
+        return new, changed > 0
+
+    reach, _ = jax.lax.while_loop(
+        lambda c: c[1], body, (reach0, jnp.array(True))
+    )
+    return jnp.where(fg | ~reach, jnp.uint8(255), jnp.uint8(0))
+
+
+def sharded_label(
+    ctx: SpatialCtx, mask_own: jnp.ndarray, connectivity: int = 8
+) -> jnp.ndarray:
+    """Row-sharded connected-component labeling, exact vs
+    ``ops.cc.label_components`` (labels = GLOBAL row-major index of each
+    component's minimum pixel; background −1).
+
+    Same round structure as :func:`sharded_fill` — per-shard min-label
+    fixpoint (``ops.cc.label_fixpoint``: the raster Pallas kernel on TPU,
+    log-depth line scans on CPU), then one boundary-row exchange per
+    neighbor with the connectivity's ±1 column coupling, to a psum'd global
+    fixpoint. Label values are global indices throughout; the per-shard
+    pointer-jumping compression follows only labels that point inside the
+    shard (``base`` argument) — min propagation carries the rest."""
+    from tracking_tpu.ops.cc import label_fixpoint
+
+    fg = mask_own > 0
+    h, w = mask_own.shape
+    big = ctx.H * w
+    base = ctx.row0 * w
+    iota = base + (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    lab0 = jnp.where(fg, iota, big)
+
+    def inject(row_lab, nb_row, nb_valid):
+        """Min-couple my edge row with a neighbor's boundary row."""
+        nb = jnp.where(nb_valid, nb_row, big)
+        cand = nb
+        if connectivity == 8:
+            left = jnp.concatenate([jnp.full((1, 1), big, jnp.int32), nb[:, :-1]], axis=1)
+            right = jnp.concatenate([nb[:, 1:], jnp.full((1, 1), big, jnp.int32)], axis=1)
+            cand = jnp.minimum(cand, jnp.minimum(left, right))
+        return jnp.where(row_lab < big, jnp.minimum(row_lab, cand), big)
+
+    def body(carry):
+        lab, _ = carry
+        lab = label_fixpoint(fg, lab, big, connectivity, base=base)
+        up = ctx._ppermute(lab[-1:], +1)  # prev shard's last row
+        dn = ctx._ppermute(lab[:1], -1)  # next shard's first row
+        row0_new = inject(lab[:1], up, ctx.idx > 0)
+        rowl_new = inject(lab[-1:], dn, ctx.idx < ctx.n - 1)
+        new = jnp.concatenate([row0_new, lab[1:-1], rowl_new], axis=0)
+        changed = jax.lax.psum(
+            jnp.any(new != lab).astype(jnp.int32), ctx.conv_axes
+        )
+        return new, changed > 0
+
+    lab, _ = jax.lax.while_loop(
+        lambda c: c[1], body, (lab0, jnp.array(True))
+    )
+    return jnp.where(fg, lab, -1)
+
+
+def sharded_extract_blobs(
+    ctx: SpatialCtx,
+    mask_own: jnp.ndarray,
+    max_blobs: int = 64,
+    connectivity: int = 8,
+    n_cand: int = 128,
+):
+    """Row-sharded blob extraction, bit-identical to ``ops.cc.extract_blobs``
+    on the gathered mask (the replicated-tail fix: labeling, root compaction
+    and the MXU moment contractions all run on owned rows; only O(K)-sized
+    tables cross ICI).
+
+    Exactness: root candidates merge per-shard top-k's (every global
+    top-``n_cand`` root is in its own shard's top-``n_cand``); count
+    matrices are exact integers, so psum partials equal the unsharded sums
+    regardless of order (ops/cc.py ``blob_row_moments``); bbox mins/maxes
+    combine with pmax. The returned ``Blobs`` table is replicated on every
+    shard."""
+    from tracking_tpu.ops.cc import Blobs, blob_finalize, blob_row_moments
+
+    h, w = mask_own.shape
+    n_glob = ctx.H * w
+    lab = sharded_label(ctx, mask_own, connectivity)
+
+    gy = ctx.row0 + jnp.arange(h, dtype=jnp.int32)
+    iota = (
+        gy[:, None] * w + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    score = jnp.where(lab == iota, n_glob - iota, 0)
+    # per-shard root compaction, then a replicated merge: each shard's local
+    # top-n_cand contains every global top-n_cand root that lives in it
+    k_loc = min(n_cand, h * w)
+    top_loc, _ = jax.lax.top_k(score.reshape(-1), k_loc)
+    top_all = jax.lax.all_gather(top_loc, ctx.axis, axis=0, tiled=True)
+    top_score, _ = jax.lax.top_k(top_all, n_cand)
+    roots_c = jnp.where(top_score > 0, n_glob - top_score, n_glob)
+
+    ohc = (lab[:, :, None] == roots_c[None, None, :]).astype(jnp.float32)
+    cnt_rk_c = jnp.einsum("hwk,w->hk", ohc, jnp.ones((w,), jnp.float32))
+    area_c = jax.lax.psum(
+        jnp.sum(cnt_rk_c.astype(jnp.int32), axis=0), ctx.axis
+    )
+    top_area, top_i = jax.lax.top_k(area_c, max_blobs)
+    roots = roots_c[top_i]
+
+    oh = (lab[:, :, None] == roots[None, None, :]).astype(jnp.float32)
+    cnt_rk = jnp.einsum("hwk,w->hk", oh, jnp.ones((w,), jnp.float32))
+    cnt_wk = jax.lax.psum(
+        jnp.einsum("hwk,h->wk", oh, jnp.ones((h,), jnp.float32)), ctx.axis
+    )
+    area_p, sy_p, ny0_p, y1_p = blob_row_moments(cnt_rk, gy, ctx.H)
+    rows = (
+        jax.lax.psum(area_p, ctx.axis),
+        jax.lax.psum(sy_p, ctx.axis),
+        jax.lax.pmax(ny0_p, ctx.axis),
+        jax.lax.pmax(y1_p, ctx.axis),
+    )
+    return blob_finalize(rows, cnt_wk, roots, ctx.H, w)
+
+
+def sharded_postproc(
+    ctx: SpatialCtx,
+    raw_fg: jnp.ndarray,
+    is_fg: jnp.ndarray,
+    median_ksize: int,
+):
+    """Row-sharded SuBSENSE post-processing chain
+    (``BackgroundSubtractorSuBSENSE.cpp:624-639``), bit-exact vs the
+    unsharded ``morph_close → fill_holes → erode³ → median → dilate³``:
+    every bounded stencil rides a halo-extended slab whose out-of-globe rows
+    carry that op's OpenCV border semantics (dilate 0 / erode 255 / median
+    edge-replicate via :meth:`SpatialCtx.clamp_rows`), and the unbounded
+    flood fill runs as cross-shard injection rounds (:func:`sharded_fill`).
+    Returns (final u8 owned rows, dil_inv bool owned rows)."""
+    from tracking_tpu.ops.filters import binary_median_blur
+    from tracking_tpu.ops.morphology import dilate, erode
+
+    h = ctx.h_loc
+    mr = median_ksize // 2
+    F = mr + 3          # fg1 rows needed: median ±mr for final ±3 (dilate³)
+    Ch = F + 3          # close rows needed: erode³ reach for fg1 ±F
+    E = Ch + 2          # raw rows: dilate ±1 + erode ±1 for close ±Ch
+
+    def shrink(slab, a: int, b: int):
+        """Slab with halo a → slab with halo b (a ≥ b)."""
+        return slab[a - b : a - b + h + 2 * b]
+
+    # close = erode(dilate(raw)): dilate pads 0, erode pads 255 at the globe
+    ext_raw = ctx.extend_const(raw_fg, E, 0)
+    dil = jnp.where(ctx.out_globe(E), jnp.uint8(255), dilate(ext_raw, 3))
+    close = erode(dil, 3)  # valid on ±Ch (slab-edge rows garbage, unused)
+
+    filled_own = sharded_fill(ctx, shrink(close, E, 0))
+
+    # fg1 = is_fg | holes | eroded³(close), built on ±F rows
+    close_F = shrink(close, E, F)
+    cc = jnp.where(ctx.out_globe(Ch), jnp.uint8(255), shrink(close, E, Ch))
+    er = erode(erode(erode(cc, 3), 3), 3)  # valid on ±F
+    er_F = shrink(er, Ch, F)
+    is_fg_F = ctx.extend_plain(is_fg, halo=F)
+    filled_F = ctx.extend_plain(filled_own, halo=F)
+    holes_F = (filled_F > 0) & ~(close_F > 0)
+    fg1 = jnp.where(
+        is_fg_F | holes_F | (er_F > 0), jnp.uint8(255), jnp.uint8(0)
+    )
+    # median pads edge-replicate: out-of-globe fg1 rows = the edge row's
+    # COMPUTED fg1 (clamp_rows), exactly jnp.pad(..., mode="edge") unsharded
+    fg1 = ctx.clamp_rows(fg1, F)
+
+    final_3 = shrink(binary_median_blur(fg1, median_ksize), F, 3)
+    final_own = shrink(final_3, 3, 0)
+    fin_d = jnp.where(ctx.out_globe(3), jnp.uint8(0), final_3)
+    dilated = dilate(dilate(dilate(fin_d, 3), 3), 3)
+    dil_inv_own = ~(shrink(dilated, 3, 0) > 0)
+    return final_own, dil_inv_own
 
 
 def spatial_specs(state, h_global: int, axis: str = "space"):
@@ -254,6 +518,7 @@ def run_video_batch_spatial(
 
     def local_fn(states_loc, frames_loc):
         ctx = SpatialCtx(axis, n_space, h, halo)
+        ctx.conv_axes = (stream_axis, axis)
 
         def one_stream(state, fr_loc):
             if fr_loc.ndim == 4:
