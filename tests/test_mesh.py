@@ -229,3 +229,67 @@ def test_sharded_blob_extraction_exact():
             np.asarray(getattr(want, field)),
             err_msg=field,
         )
+
+
+def test_sharded_refresh_samples_exact():
+    """The auto-reset model refresh (_refresh_samples) with the spatial
+    hooks — halo-slab sources via extend_border/shift_ext, row-sliced global
+    offset draw — is bit-identical to the unsharded global-shape refresh.
+    The full-step equality tests never fire the (rare) trigger branch, so
+    this pins the branch's numerics directly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tracking_tpu.bgs.lbsp_family import _refresh_samples
+    from tracking_tpu.parallel.mesh import shard_map
+    from tracking_tpu.parallel.spatial import SpatialCtx, spatial_specs
+
+    H, W, C, N = 64, 48, 3, 10
+    rng = np.random.default_rng(5)
+    key = jax.random.PRNGKey(42)
+    planes = tuple(jnp.asarray(rng.integers(0, 256, (H, W), np.uint8)) for _ in range(C))
+    intra = tuple(jnp.asarray(rng.integers(0, 1 << 16, (H, W)).astype(np.uint16)) for _ in range(C))
+    ok = jnp.asarray(rng.random((H, W)) < 0.7)
+    colors = tuple(jnp.asarray(rng.integers(0, 256, (N, H, W), np.uint8)) for _ in range(C))
+    descs = tuple(jnp.asarray(rng.integers(0, 1 << 16, (N, H, W)).astype(np.uint16)) for _ in range(C))
+    start = jnp.asarray(3, jnp.int32)
+
+    want_c, want_d = jax.jit(
+        lambda co, de: _refresh_samples(key, N, 2, start, planes, intra, ok, co, de)
+    )(colors, descs)
+
+    mesh = make_mesh(8, stream=1)
+    state = {"colors": colors, "descs": descs, "planes": planes,
+             "intra": intra, "ok": ok}
+    specs = spatial_specs(state, H)
+
+    def local_fn(st):
+        ctx = SpatialCtx("space", 8, H)
+        rs_kw = dict(
+            own=ctx.rng_rows,
+            shift=lambda s, dy, dx: ctx.shift_ext(s, -dy, -dx),
+            ok_own=st["ok"],
+            global_h=H,
+        )
+        src_p = tuple(ctx.extend_border(p) for p in st["planes"])
+        src_i = tuple(ctx.extend_border(d) for d in st["intra"])
+        ok_ext = ctx.extend_border(st["ok"])
+        return _refresh_samples(
+            key, N, 2, start, src_p, src_i, ok_ext,
+            st["colors"], st["descs"], **rs_kw,
+        )
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(specs["colors"], specs["descs"]),
+        check_rep=False,
+    )
+    st_sh = jax.device_put(
+        state, jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
+    )
+    got_c, got_d = jax.jit(fn)(st_sh)
+    for a, b in zip(got_c + got_d, want_c + want_d):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

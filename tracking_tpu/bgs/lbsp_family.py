@@ -131,7 +131,7 @@ def _sample_offset_field(key, shape):
     return jnp.clip(jnp.sum(r[None] > cdf, axis=0), 0, 48)
 
 
-def _refresh_samples(key, n_samples, n_refresh, start, last_color, last_desc, ok_mask, colors, descs, own=None):
+def _refresh_samples(key, n_samples, n_refresh, start, last_color, last_desc, ok_mask, colors, descs, own=None, shift=None, ok_own=None, global_h=None):
     """refreshModel (SuBSENSE :249-291 / LOBSTER :128-170), vectorized.
 
     last_color/last_desc: C-tuples of [H, W]; colors/descs: C-tuples of
@@ -144,30 +144,38 @@ def _refresh_samples(key, n_samples, n_refresh, start, last_color, last_desc, ok
     bank copies once vmap-over-streams turned the enclosing ``lax.cond`` into
     a select, killing the TPU worker.
 
-    ``own``: spatial-sharding hook — source maps are *global*-shaped and the
-    draws/picks happen at global shape (identical to the unsharded run);
-    ``own`` then row-slices each picked/ok map down to the shard's banks.
+    Spatial-sharding hooks (sources then arrive as halo-extended SLABS from
+    SpatialCtx.extend_border, not full frames — no all_gather): ``shift(src,
+    dy, dx)`` realizes the border-clamped global shift on a slab (owned-shape
+    result); ``ok_own`` is the shard's own rows of ok_mask; ``own`` row-
+    slices the global-shape offset draw (the draw itself stays global so
+    every pixel sees the unsharded bits); ``global_h`` is the full-frame H.
     """
     if own is None:
         own = lambda x: x
-    h, w = ok_mask.shape
+    if shift is None:
+        # NOTE: the reference's getRandSamplePosition ADDS the offset
+        # (sample at p + d); _shift_clamped realizes img[p + d] via −d
+        shift = lambda s, dy, dx: _shift_clamped(s, -dy, -dx)
+    if ok_own is None:
+        ok_own = ok_mask
+    h = ok_mask.shape[0] if global_h is None else global_h
+    w = ok_mask.shape[1]
+    ho, wo = ok_own.shape
     N = n_samples
-    idx = _sample_offset_field(key, (n_refresh, h, w))  # [R, H, W] ∈ 0..48
+    idx = own(_sample_offset_field(key, (n_refresh, h, w)))  # [R,·,·] ∈ 0..48
     slots = jnp.arange(N)
 
     srcs = tuple(last_color) + tuple(last_desc)
-    picked = [jnp.zeros((n_refresh, h, w), s.dtype) for s in srcs]
-    ok_p = jnp.zeros((n_refresh, h, w), bool)
+    picked = [jnp.zeros((n_refresh, ho, wo), s.dtype) for s in srcs]
+    ok_p = jnp.zeros((n_refresh, ho, wo), bool)
     for k in range(49):
         dy, dx = int(_INIT_DY[k]), int(_INIT_DX[k])
         sel = idx == k
-        # NOTE: the reference's getRandSamplePosition ADDS the offset
-        # (sample at p + d); _shift_clamped realizes img[p + d] via −d
         for i, s in enumerate(srcs):
-            picked[i] = jnp.where(sel, _shift_clamped(s, -dy, -dx)[None], picked[i])
-        ok_p = jnp.where(sel, _shift_clamped(ok_mask, -dy, -dx)[None], ok_p)
-    ok_all = own(ok_p & ok_mask[None])
-    picked = [own(p) for p in picked]
+            picked[i] = jnp.where(sel, shift(s, dy, dx)[None], picked[i])
+        ok_p = jnp.where(sel, shift(ok_mask, dy, dx)[None], ok_p)
+    ok_all = ok_p & ok_own[None]
 
     def apply(bank, src):
         # per-draw slot select (no gather): R is small (5 or N)
@@ -1284,27 +1292,38 @@ class SuBSENSE(BGSAlgorithm):
         auto_reset = state["auto_reset"]
         ds_lt, ds_st = state["ds_lt"], state["ds_st"]
         if scaling:
-            # Spatial mode: the downsampled maps and trigger are *frame-level*
-            # state (replicated); compute them from the all-gathered planes so
-            # every shard runs the identical code on the identical array.
-            if ctx is None:
-                planes_full = planes
-                intra_full = intra_desc
-                final_fg_full = final_fg
-            else:
-                planes_full = tuple(ctx.gather_rows(p) for p in planes)
-                intra_full = tuple(ctx.gather_rows(d) for d in intra_desc)
-                final_fg_full = ctx.gather_rows(final) > 0
+            # Frame-level (replicated) statistics. Sharded mode gathers only
+            # the PER-ROW 8-column sums (u16, ~1/10 the plane bytes) instead
+            # of the full planes: every partial is an exact integer ≤ 8·255
+            # and the cell divisor 64 is a power of two, so the two-stage sum
+            # is bit-identical to the one-shot cell mean at any split.
             dsh, dsw = H // DOWNSAMPLE_RATIO, w // DOWNSAMPLE_RATIO
-            ds = tuple(
-                jnp.mean(
-                    planes_full[ci][: dsh * DOWNSAMPLE_RATIO, : dsw * DOWNSAMPLE_RATIO]
-                    .reshape(dsh, DOWNSAMPLE_RATIO, dsw, DOWNSAMPLE_RATIO)
-                    .astype(jnp.float32),
-                    axis=(1, 3),
+
+            def _ds_colsum(p):
+                rows = p.shape[0]
+                return (
+                    p[:, : dsw * DOWNSAMPLE_RATIO]
+                    .reshape(rows, dsw, DOWNSAMPLE_RATIO)
+                    .astype(jnp.uint16)
+                    .sum(axis=2, dtype=jnp.uint16)
                 )
-                for ci in range(c)
-            )
+
+            def _ds_of(colsum_full):
+                s = (
+                    colsum_full[: dsh * DOWNSAMPLE_RATIO]
+                    .reshape(dsh, DOWNSAMPLE_RATIO, dsw)
+                    .astype(jnp.int32)
+                    .sum(axis=1)
+                )
+                return s.astype(jnp.float32) / (DOWNSAMPLE_RATIO * DOWNSAMPLE_RATIO)
+
+            if ctx is None:
+                ds = tuple(_ds_of(_ds_colsum(planes[ci])) for ci in range(c))
+            else:
+                ds = tuple(
+                    _ds_of(ctx.gather_rows(_ds_colsum(planes[ci])))
+                    for ci in range(c)
+                )
             ds_lt = tuple(ds_lt[ci] * (1 - a_lt) + ds[ci] * a_lt for ci in range(c))
             ds_st = tuple(ds_st[ci] * (1 - a_st) + ds[ci] * a_st for ci in range(c))
             perpx = [jnp.abs(ds_st[ci] - ds_lt[ci]).astype(jnp.int32) for ci in range(c)]
@@ -1328,17 +1347,31 @@ class SuBSENSE(BGSAlgorithm):
             # (:656-700 runs at frame end): the rare trigger branch applies
             # the pending log eagerly, refreshes, and clears the log so the
             # next step doesn't replay it. Spatial mode hoists the halo
-            # exchange of the fresh log out of the cond (collectives may not
-            # live inside a conditional branch).
-            refresh_own = ctx.own_rows if ctx is not None else None
+            # exchanges out of the cond (collectives may not live inside a
+            # conditional branch): sources arrive as border-clamped slabs
+            # (SpatialCtx.extend_border — a few 8-row bands over ICI, not
+            # the old full-frame all_gathers of planes/descs/final).
+            if ctx is not None:
+                src_planes = tuple(ctx.extend_border(p) for p in planes)
+                src_intra = tuple(ctx.extend_border(d) for d in intra_desc)
+                ok_ext = ctx.extend_border(~final_fg)
+                rs_kw = dict(
+                    own=ctx.rng_rows,
+                    shift=lambda s, dy, dx: ctx.shift_ext(s, -dy, -dx),
+                    ok_own=~final_fg,
+                    global_h=H,
+                )
+            else:
+                src_planes, src_intra, ok_ext = planes, intra_desc, ~final_fg
+                rs_kw = {}
             if v2:
                 # v2 banks are already current; refresh then recompute the
                 # carried bank sum on the (rare) trigger branch only
                 def _do_refresh(args):
                     cd_colors, cd_descs, _bg = args
                     rc, rd = _refresh_samples(
-                        keys[9], N, n_refresh, start, planes_full, intra_full,
-                        ~final_fg_full, cd_colors, cd_descs, own=refresh_own,
+                        keys[9], N, n_refresh, start, src_planes, src_intra,
+                        ok_ext, cd_colors, cd_descs, **rs_kw,
                     )
                     return rc, rd, tuple(
                         jnp.sum(cc.astype(jnp.int32), axis=0) for cc in rc
@@ -1360,8 +1393,8 @@ class SuBSENSE(BGSAlgorithm):
                         ctrl, pend_vals, cd_colors, cd_descs, shift_src=refresh_shift
                     )
                     rc, rd = _refresh_samples(
-                        keys[9], N, n_refresh, start, planes_full, intra_full,
-                        ~final_fg_full, ac, ad, own=refresh_own,
+                        keys[9], N, n_refresh, start, src_planes, src_intra,
+                        ok_ext, ac, ad, **rs_kw,
                     )
                     return rc, rd, jnp.zeros_like(ctrl)
 
