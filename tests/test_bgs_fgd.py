@@ -69,3 +69,33 @@ def test_fgd_min_area_gate_drops_specks():
     last = fgs[-1] > 0
     assert not last[5, 5]
     assert last[22:30, 22:30].mean() > 0.3
+
+
+def test_fgd_f16_statistics_track_f32():
+    """The P/Pb Bayes statistics are stored f16 (HBM lever, fgd.STAT_DTYPE);
+    the model is a re-derivation with behavioral gates, so the dtype is a
+    free design choice — but pin that f16 decisions track an f32 run on
+    dynamic content (agreement >= 0.995 over the clip, exact on the final
+    settled frame's foreground count within 1%)."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 220, (40, 60, 3), np.uint8)
+    frames = np.repeat(base[None], 50, axis=0).copy()
+    for t in range(50):  # moving square + flickering background region
+        frames[t, 10 + t % 20 : 18 + t % 20, 12:24] = 255
+        frames[t, 30:36, 40:52] = 80 + 60 * (t % 2)
+
+    import tracking_tpu.bgs.fgd as F
+
+    masks16, _ = _run("FGD", frames)
+    saved = F.FGD.STAT_DTYPE
+    F.FGD.STAT_DTYPE = jnp.float32
+    try:
+        masks32, _ = _run("FGD", frames)
+    finally:
+        F.FGD.STAT_DTYPE = saved
+
+    agree = (masks16 == masks32).mean()
+    assert agree >= 0.995, agree
+    n16 = (masks16[-1] > 0).sum()
+    n32 = (masks32[-1] > 0).sum()
+    assert abs(int(n16) - int(n32)) <= max(10, 0.01 * max(n16, n32)), (n16, n32)

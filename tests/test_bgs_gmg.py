@@ -74,3 +74,47 @@ def test_gmg_training_phase_empty(video_frames):
     algo = get_algorithm("GMG")()
     _, masks = run_video(algo, jnp.asarray(crop))
     assert np.asarray(masks)[:20].sum() == 0
+
+
+def test_gmg_decision_threshold_knife_edge():
+    """decisionThreshold=0.7 + backgroundPrior=0.8 (the reference wrapper's
+    ctor values, package_bgs/GMG.cpp) imply a pixel's color is FG iff its
+    trained weight w < 0.3/(0.3+0.7·(0.8/0.2)) ≈ 0.0968: train two colors at
+    5% / 25% frequency and check they land on opposite sides."""
+    rng = np.random.default_rng(0)
+    H, W = 16, 16
+    A = np.full((H, W, 3), 40, np.uint8)
+    B = np.full((H, W, 3), 200, np.uint8)
+    # 20 training frames: B appears once (w=0.05) on the left half,
+    # 5 times (w=0.25) on the right half
+    frames = []
+    for t in range(20):
+        f = A.copy()
+        if t == 3:
+            f[:, : W // 2] = 200
+        if t % 4 == 0:
+            f[:, W // 2 :] = 200
+        frames.append(f)
+    frames.append(B)  # decision frame: everyone sees B
+    frames = np.stack(frames)
+    algo = get_algorithm("GMG")(smoothingRadius=0)
+    _, masks = run_video(algo, jnp.asarray(frames))
+    last = np.asarray(masks)[-1]
+    assert (last[:, : W // 2] == 255).all()   # w=0.05 < 0.0968 → foreground
+    assert (last[:, W // 2 :] == 0).all()     # w=0.25 > 0.0968 → background
+
+
+def test_gmg_learning_rate_flips_novel_color_to_background():
+    """learningRate=0.025: a post-training novel color's weight grows as
+    1-(1-lr)^m, crossing the 0.0968 decision boundary at m=5 — it must be
+    FG on its first 4 appearances and BG from the 5th on."""
+    H, W = 8, 8
+    A = np.full((H, W, 3), 40, np.uint8)
+    B = np.full((H, W, 3), 200, np.uint8)
+    frames = np.stack([A] * 20 + [B] * 8)
+    algo = get_algorithm("GMG")(smoothingRadius=0)
+    _, masks = run_video(algo, jnp.asarray(frames))
+    m = np.asarray(masks)[20:]
+    fg_frac = (m > 0).reshape(8, -1).mean(axis=1)
+    assert (fg_frac[:4] == 1.0).all(), fg_frac
+    assert (fg_frac[5:] == 0.0).all(), fg_frac

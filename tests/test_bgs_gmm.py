@@ -133,3 +133,104 @@ def test_mog1_behavioral(video_frames):
     assert masks.shape == frames.shape[:3]
     # background converges on static scenes; motion frames light up
     assert (masks[5:15] > 0).mean() < 0.5
+
+
+# -- MOG1 property tests: the KaewTraKulPong-Bowden update equations -------
+# (the reference wraps OpenCV legacy cv::BackgroundSubtractorMOG,
+# package_bgs/MixtureOfGaussianV1BGS.cpp:47-52; no cv2.bgsegm exists in
+# this image, so the paper's equations are pinned directly on tiny frames)
+
+
+def _mog1_state(algo, frames):
+    h, w = frames.shape[1:3]
+    st = algo.init(h, w, 3)
+    for f in frames:
+        st, fg, _ = algo.step(st, jnp.asarray(f))
+    return st, np.asarray(fg)
+
+
+def test_mog1_matched_mode_update_equations():
+    """Two constant frames: after frame 1 the single mode is (w=1, mu=v,
+    var=noiseSigma^2); a matched second frame must apply w <- (1-a)w + a,
+    mu <- mu - rho(mu - x), var <- var + rho(dist - var) with rho = a/w —
+    closed-form values, exact."""
+    algo = get_algorithm("MixtureOfGaussianV1BGS")()
+    v = np.full((1, 2, 2, 3), 100, np.uint8)
+    st, _ = _mog1_state(algo, v)
+    assert int(st["n"][0, 0]) == 1
+    np.testing.assert_allclose(np.asarray(st["w"][0]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st["var"][0]), 900.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st["mu"][0, :, 0]), 100.0, rtol=1e-6)
+
+    st, _ = _mog1_state(algo, np.repeat(v, 2, axis=0))
+    # matched, dist=0: w=(1-a)+a=1; mu unchanged; var = 900 + 0.05*(0-900)
+    np.testing.assert_allclose(np.asarray(st["w"][0]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st["var"][0]), 855.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st["mu"][0, :, 0]), 100.0, rtol=1e-6)
+
+
+def test_mog1_new_mode_weight_and_replacement_order():
+    """A novel value creates a mode with weight alpha (normalized) holding
+    the new value and initial variance; when all K slots are full the
+    LOWEST-w/sigma mode is the one replaced (paper: least probable)."""
+    algo = get_algorithm("MixtureOfGaussianV1BGS")()
+    K = algo.config.nmixtures
+    f0 = np.full((1, 1, 1, 3), 40, np.uint8)
+    f1 = np.full((1, 1, 1, 3), 200, np.uint8)
+    st, _ = _mog1_state(algo, np.concatenate([f0, f1]))
+    assert int(st["n"][0, 0]) == 2
+    ws = np.asarray(st["w"][:, 0, 0])
+    mus = np.asarray(st["mu"][:, 0, 0, 0])
+    # dominant mode keeps v=40 with the big weight; new mode w=alpha/(1+alpha)
+    assert mus[0] == 40.0 and abs(mus[1] - 200.0) < 1e-5
+    np.testing.assert_allclose(ws[1], 0.05 / 1.05, rtol=1e-5)
+
+    # fill all K slots with distinct far-apart values, then one more
+    vals = [10, 60, 110, 160, 210]
+    frames = np.stack([np.full((1, 1, 3), v, np.uint8) for v in vals])
+    # repeat the first value many times so mode(10) is clearly dominant
+    frames = np.concatenate([np.repeat(frames[:1], 6, axis=0), frames[1:]])
+    st, _ = _mog1_state(algo, frames)
+    assert int(st["n"][0, 0]) == K
+    mus = np.asarray(st["mu"][:, 0, 0, 0])
+    before = set(np.round(mus).astype(int).tolist())
+    algo2 = get_algorithm("MixtureOfGaussianV1BGS")()
+    st2, _fg, _bg = algo2.step(st, jnp.asarray(np.full((1, 1, 3), 255, np.uint8)))
+    mus2 = np.asarray(st2["mu"][:, 0, 0, 0])
+    after = set(np.round(mus2).astype(int).tolist())
+    # the replaced value is the LAST-ranked (lowest w/sigma) mode, and the
+    # dominant mode must survive
+    assert 255 in after and 10 in after
+    assert len(after - before) == 1
+
+
+def test_mog1_background_ratio_prefix_decision():
+    """backgroundRatio=0.7: with modes ORDERED by w/sigma (the paper's
+    ranking — pinned on a constructed state with equal sigmas so the order
+    is by weight alone), a matched mode whose cumulative-weight prefix
+    already reached 0.7 is FOREGROUND; the prefix mode is background."""
+    algo = get_algorithm("MixtureOfGaussianV1BGS")(enableThreshold=False)
+    st = algo.init(2, 2, 3)
+    K = algo.config.nmixtures
+    w = np.zeros((K, 2, 2), np.float32)
+    var = np.full((K, 2, 2), 4.0, np.float32)
+    mu = np.zeros((K, 3, 2, 2), np.float32)
+    w[0], w[1] = 0.75, 0.25
+    mu[0], mu[1] = 40.0, 200.0
+    st = dict(st, w=jnp.asarray(w), var=jnp.asarray(var),
+              mu=jnp.asarray(mu), n=jnp.full((2, 2), 2, jnp.int32))
+    _, fg_major, _ = algo.step(st, jnp.asarray(np.full((2, 2, 3), 40, np.uint8)))
+    _, fg_minor, _ = algo.step(st, jnp.asarray(np.full((2, 2, 3), 200, np.uint8)))
+    assert (np.asarray(fg_major) == 0).all()    # cum before mode 0 is 0 < 0.7
+    assert (np.asarray(fg_minor) == 255).all()  # cum before mode 1 is 0.75
+
+    # and the w/sigma ranking itself (the sort at the end of each step): a
+    # tight (sigma=2) w~0.24 mode must outrank a loose (sigma~11.6) w~0.76
+    # mode in the NEXT state — the paper's fitness ordering, not weight
+    # ordering. (Bimodal-training dynamics land exactly there: the heavy
+    # mode's variance decays slowly because rho = alpha/w.)
+    st2 = dict(st, var=jnp.asarray(np.stack(
+        [np.full((2, 2), 144.0, np.float32), np.full((2, 2), 4.0, np.float32)]
+        + [np.zeros((2, 2), np.float32)] * (K - 2))))
+    st3, _, _ = algo.step(st2, jnp.asarray(np.full((2, 2, 3), 40, np.uint8)))
+    assert (np.asarray(st3["mu"][0, 0]) == 200.0).all()  # 0.2375/2 > 0.7625/11.6

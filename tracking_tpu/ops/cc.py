@@ -169,18 +169,16 @@ class Blobs(NamedTuple):
         return jnp.maximum(self.y1 - self.y0 + 1, 0)
 
 
-def _extract_blobs_mxu(lab, max_blobs: int, n_cand: int = 128) -> Blobs:
-    """Blob stats without full-image scatters (each ~11 ms at 720p on TPU).
+def _root_candidates(lab, n_cand: int):
+    """Top-``n_cand`` top-left-most component roots of a label image.
 
-    Roots (component-min pixels, where lab == own index) are compacted with
-    one top_k; per-component statistics become one-hot contractions over the
-    candidate axis — row/column count matrices via MXU einsums, from which
-    area, centroid sums, and bounding boxes are tiny reductions. Caveat: if
-    a frame has more than `n_cand` components, the top-`max_blobs`-by-area
-    selection is taken among the `n_cand` top-left-most roots (the XLA
-    scatter path considers all components); real masks after median
-    filtering have far fewer.
-    """
+    Root compaction: a full top_k over H·W elements costs ~1.05 ms at 720p
+    (measured; it was 80% of blob extraction). Roots are sparse, so first
+    reduce 8 lane-adjacent pixels to their max (0.1 ms incl. the small
+    top_k) — exact unless two roots share an 8-px row block, which the
+    count check detects (two components' min-pixels within 8 px on one
+    row); only then fall back to the exact full top_k. Returns candidate
+    root labels, padded with ``n`` (matches nothing)."""
     H, W = lab.shape
     n = H * W
     iota = (
@@ -188,12 +186,6 @@ def _extract_blobs_mxu(lab, max_blobs: int, n_cand: int = 128) -> Blobs:
         + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     )
     score = jnp.where(lab == iota, n - iota, 0)
-    # Root compaction. A full top_k over H·W elements costs ~1.05 ms at 720p
-    # (measured; it was 80% of blob extraction). Roots are sparse, so first
-    # reduce 8 lane-adjacent pixels to their max (0.1 ms incl. the small
-    # top_k) — exact unless two roots share an 8-px row block, which the
-    # count check detects (two components' min-pixels within 8 px on one
-    # row); only then fall back to the exact full top_k.
     if W % 8 == 0 and (H * W) // 8 >= n_cand:
         blk = score.reshape(H, W // 8, 8)
         collision = jnp.any(jnp.sum(blk > 0, axis=-1) > 1)
@@ -207,19 +199,46 @@ def _extract_blobs_mxu(lab, max_blobs: int, n_cand: int = 128) -> Blobs:
         )
     else:
         top_score, _ = jax.lax.top_k(score.reshape(-1), n_cand)
-    roots_c = jnp.where(top_score > 0, n - top_score, n)  # n matches nothing
+    return jnp.where(top_score > 0, n - top_score, n)  # n matches nothing
 
-    # area per candidate: one [H, W, K] one-hot, contracted over W then H
-    ohc = (lab[:, :, None] == roots_c[None, None, :]).astype(jnp.float32)
-    cnt_rk_c = jnp.einsum("hwk,w->hk", ohc, jnp.ones((W,), jnp.float32))
+
+def _extract_blobs_mxu(lab, max_blobs: int, n_cand: int = 128):
+    """Blob stats without full-image scatters (each ~11 ms at 720p on TPU).
+
+    Roots (component-min pixels, where lab == own index) are compacted with
+    one top_k; per-component statistics become one-hot contractions over the
+    candidate axis — row/column count matrices via MXU einsums, from which
+    area, centroid sums, and bounding boxes are tiny reductions. Caveat: if
+    a frame has more than `n_cand` components, the top-`max_blobs`-by-area
+    selection is taken among the `n_cand` top-left-most roots (the XLA
+    scatter path considers all components); real masks after median
+    filtering have far fewer.
+    """
+    H, W = lab.shape
+    n = H * W
+    roots_c = _root_candidates(lab, n_cand)
+
+    # area per candidate: one [H, W, K] one-hot, contracted over W then H.
+    # One-hots are bf16 with f32 MXU accumulation — exact (integer sums of
+    # 0/1 accumulate in f32) at half the one-hot HBM traffic.
+    ones_w = jnp.ones((W,), jnp.bfloat16)
+    ohc = (lab[:, :, None] == roots_c[None, None, :]).astype(jnp.bfloat16)
+    cnt_rk_c = jnp.einsum(
+        "hwk,w->hk", ohc, ones_w, preferred_element_type=jnp.float32
+    )
     area_c = jnp.sum(cnt_rk_c, axis=0)
 
     top_area, top_i = jax.lax.top_k(area_c, max_blobs)
     roots = roots_c[top_i]
 
-    oh = (lab[:, :, None] == roots[None, None, :]).astype(jnp.float32)
-    cnt_rk = jnp.einsum("hwk,w->hk", oh, jnp.ones((W,), jnp.float32))
-    cnt_wk = jnp.einsum("hwk,h->wk", oh, jnp.ones((H,), jnp.float32))
+    oh = (lab[:, :, None] == roots[None, None, :]).astype(jnp.bfloat16)
+    cnt_rk = jnp.einsum(
+        "hwk,w->hk", oh, ones_w, preferred_element_type=jnp.float32
+    )
+    cnt_wk = jnp.einsum(
+        "hwk,h->wk", oh, jnp.ones((H,), jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
     rows = blob_row_moments(cnt_rk, jnp.arange(H, dtype=jnp.int32), H)
     return blob_finalize(rows, cnt_wk, roots, H, W)
 
@@ -308,3 +327,68 @@ def extract_blobs(
         y1=jnp.where(ok, by1[top_idx], -1),
         label=jnp.where(ok, top_idx, -1),
     )
+
+
+@partial(jax.jit, static_argnames=("max_blobs", "connectivity"))
+def area_gate(
+    mask: jnp.ndarray,
+    min_area: float,
+    max_blobs: int = 64,
+    connectivity: int = 8,
+) -> jnp.ndarray:
+    """Zero out components smaller than ``min_area`` (the FGD minArea gate,
+    OpenCV legacy ``cvbgfg_gaussmix`` / FGD post-processing parity).
+
+    Keeps the top-``max_blobs``-by-area components that clear ``min_area``
+    — identical semantics to extract_blobs + a keep-by-label pass, but the
+    labeling runs ONCE and the keep mask falls out of the one-hot the MXU
+    blob statistics already materialize (extract_blobs + a separate
+    label_components + a [K, H, W] any-compare measured 2.5 ms at 720p;
+    this is ~0.9)."""
+    H, W = mask.shape
+    n = H * W
+    lab = label_components(mask, connectivity)
+    if jax.default_backend() == "tpu":
+        # areas only — no second one-hot pass, no moment contractions: the
+        # candidate one-hot + its area einsum is everything the gate needs
+        # (top-max_blobs membership by pairwise rank, first-candidate ties)
+        n_cand = 128
+        roots_c = _root_candidates(lab, n_cand)
+        # bf16 one-hot with f32 MXU accumulation: exact (counts are integer
+        # sums of 0/1 accumulated in f32) at half the one-hot HBM traffic;
+        # a plain hwk->k reduce lowers to a slow VPU reduction (+0.6 ms)
+        ohc = (lab[:, :, None] == roots_c[None, None, :]).astype(jnp.bfloat16)
+        cnt_rk_c = jnp.einsum(
+            "hwk,w->hk",
+            ohc,
+            jnp.ones((W,), jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        area_c = jnp.sum(cnt_rk_c, axis=0).astype(jnp.int32)
+        ci = jnp.arange(n_cand)
+        rank = jnp.sum(
+            (area_c[None, :] > area_c[:, None])
+            | ((area_c[None, :] == area_c[:, None]) & (ci[None, :] < ci[:, None])),
+            axis=1,
+        )
+        okf = ((area_c >= min_area) & (rank < max_blobs)).astype(jnp.bfloat16)
+        keep = (
+            jnp.einsum(
+                "hwk,k->hw", ohc, okf, preferred_element_type=jnp.float32
+            )
+            > 0
+        )
+    else:
+        flat = lab.reshape(-1)
+        idx = jnp.where(flat >= 0, flat, n)
+        area = jnp.zeros(n + 1, jnp.int32).at[idx].add(1).at[n].set(0)
+        top_area, top_idx = jax.lax.top_k(area, max_blobs)
+        flag = (
+            jnp.zeros(n + 1, bool)
+            .at[jnp.where(top_area > 0, top_idx, n)]
+            .set(top_area >= min_area)
+            .at[n]
+            .set(False)
+        )
+        keep = flag[idx].reshape(H, W)
+    return jnp.where(keep, jnp.uint8(255), jnp.uint8(0))
