@@ -215,3 +215,68 @@ def test_multilayer_detects_appearing_object():
     m = np.asarray(masks)
     assert (m[31, 12:20, 14:26] == 255).mean() > 0.9
     assert (m[25] == 0).all()
+
+
+def _steps(algo, st, frames):
+    for f in frames:
+        st, fg, _ = algo.step(st, jnp.asarray(f))
+    return st, np.asarray(fg)
+
+
+def test_multilayer_detect_mode_rates_and_freeze():
+    """MLBGS_DETECT (MultiLayerBGS.cpp:173-186): detect rates 0.01/s and
+    init weight 0.001 replace the LEARN values; disableLearning (honored
+    only in DETECT, :100-107) freezes the model entirely."""
+    bg = np.full((8, 10, 3), 120, np.uint8)
+    novel = np.full((8, 10, 3), 240, np.uint8)
+
+    learn = get_algorithm("MultiLayerBGS")()
+    st_l = learn.init(8, 10, 3)
+    st_l, _ = _steps(learn, st_l, [bg] * 5)
+
+    # DETECT continues from the learned model with slow rates: a novel
+    # frame appends a mode at detect_init_mode_weight (0.001), not 0.05
+    detect = get_algorithm("MultiLayerBGS")(status="MLBGS_DETECT")
+    st_d, _ = _steps(detect, dict(st_l), [novel])
+    w = np.asarray(st_d["weight"][:, 0, 0])
+    n = int(st_d["n"][0, 0])
+    assert n == 2
+    assert abs(sorted(w[:n])[0] - 0.001) < 1e-4, w
+
+    # frozen model: disableLearning in DETECT leaves every model leaf alone
+    frozen = get_algorithm("MultiLayerBGS")(
+        status="MLBGS_DETECT", disableLearning=True
+    )
+    st_f, fg = _steps(frozen, dict(st_l), [novel])
+    for key in ("weight", "bg_int", "bg_pattern", "n", "max_weight"):
+        np.testing.assert_array_equal(
+            np.asarray(st_f[key]), np.asarray(st_l[key]), err_msg=key
+        )
+    assert (fg == 255).all()  # still DETECTS the novel object
+
+
+def test_multilayer_detect_after_switches_rates():
+    """detectAfter=N flips LEARN->DETECT at frame N (MultiLayerBGS.cpp:
+    201-218): a novel mode appended before the switch gets the LEARN init
+    weight, after it the DETECT one."""
+    bg = np.full((8, 10, 3), 120, np.uint8)
+    novel = np.full((8, 10, 3), 240, np.uint8)
+    algo = get_algorithm("MultiLayerBGS")(detectAfter=3)
+    st = algo.init(8, 10, 3)
+    # frames 1-3 = LEARN phase; novel at frame 2 -> init weight 0.05
+    st, _ = _steps(algo, st, [bg, novel])
+    w = np.asarray(st["weight"][:, 0, 0])
+    assert abs(sorted(w[: int(st["n"][0, 0])])[0] - 0.05) < 5e-3, w
+    # frames 4+ = DETECT phase; a second novel value -> init weight 0.001
+    novel2 = np.full((8, 10, 3), 30, np.uint8)
+    st, _ = _steps(algo, st, [bg, bg, novel2])
+    n = int(st["n"][0, 0])
+    w = np.asarray(st["weight"][:n, 0, 0])
+    assert abs(sorted(w)[0] - 0.001) < 1e-4, w
+
+    # combining detectAfter with disableLearning is rejected (static graph)
+    import pytest as _pytest
+
+    bad = get_algorithm("MultiLayerBGS")(detectAfter=3, disableLearning=True)
+    with _pytest.raises(ValueError):
+        bad.step(bad.init(8, 10, 3), jnp.asarray(bg))

@@ -99,6 +99,20 @@ class MultiLayerConfig(BGSConfig):
     mode_learn_rate_per_second: float = 0.5
     weight_learn_rate_per_second: float = 0.5
     init_mode_weight: float = 0.05
+    # wrapper status machine (MultiLayerBGS.cpp:44-216): LEARN uses the
+    # rates above; DETECT switches to the detect_* rates and optionally
+    # freezes the model (disableLearning applies only in DETECT, :100-107).
+    # detectAfter > 0 flips LEARN -> DETECT at that frame (:201-218).
+    # bg_model_preload: orbax checkpoint to load at start (BGS->Load,
+    # :94-98); saveModel: save the model there at finish when in LEARN
+    # (:44-48, default path models/MultiLayerBGSModel).
+    status: str = "MLBGS_LEARN"
+    detectAfter: int = 0
+    detect_mode_learn_rate_per_second: float = 0.01
+    detect_weight_learn_rate_per_second: float = 0.01
+    detect_init_mode_weight: float = 0.001
+    bg_model_preload: str = ""
+    saveModel: bool = False
     disableLearning: bool = False
     showOutput: bool = True
     # constants (BGS.h / ctor)
@@ -158,10 +172,34 @@ class MultiLayerBGS(BGSAlgorithm):
         C = f3.shape[2]
         t = state["t"]
         frame_idx = t + 1  # SetNewImage pre-increments m_nCurImgFrameIdx
-        lr = cfg.mode_learn_rate_per_second * cfg.frame_duration
-        wlr = cfg.weight_learn_rate_per_second * cfg.frame_duration
+        detect = cfg.status.upper().endswith("DETECT")
+        lr_l = cfg.mode_learn_rate_per_second * cfg.frame_duration
+        wlr_l = cfg.weight_learn_rate_per_second * cfg.frame_duration
+        lr_d = cfg.detect_mode_learn_rate_per_second * cfg.frame_duration
+        wlr_d = cfg.detect_weight_learn_rate_per_second * cfg.frame_duration
+        if cfg.detectAfter > 0 and not detect:
+            # LEARN -> DETECT at frame detectAfter (MultiLayerBGS.cpp:201-218)
+            # — a traced rate switch; freezing the model mid-run would need
+            # a static branch, so disableLearning requires status=DETECT
+            if cfg.disableLearning:
+                raise ValueError(
+                    "disableLearning applies in DETECT mode; combined with "
+                    "detectAfter set status='MLBGS_DETECT' for the detect "
+                    "phase instead (chunk-granularity restart)"
+                )
+            det_now = frame_idx > cfg.detectAfter
+            lr = jnp.where(det_now, lr_d, lr_l)
+            wlr = jnp.where(det_now, wlr_d, wlr_l)
+            imw = jnp.where(
+                det_now, cfg.detect_init_mode_weight, cfg.init_mode_weight
+            )
+        else:
+            lr = lr_d if detect else lr_l
+            wlr = wlr_d if detect else wlr_l
+            imw = cfg.detect_init_mode_weight if detect else cfg.init_mode_weight
         wuc = cfg.weight_updating_constant
-        learn = not cfg.disableLearning
+        # the wrapper only honors disableLearning in DETECT (:100-107)
+        learn = not (detect and cfg.disableLearning)
 
         gray = bgr2gray_u8(f3).astype(jnp.float32)
         cur_pat = jnp.stack(
@@ -310,8 +348,8 @@ class MultiLayerBGS(BGSAlgorithm):
         at0 = [m == 0 for m in range(M)]
         for m in range(M):
             if m == 0:
-                S["w"][m] = jnp.full((h, w_), cfg.init_mode_weight)
-                S["mw"][m] = jnp.full((h, w_), cfg.init_mode_weight)
+                S["w"][m] = jnp.full((h, w_), 1.0) * imw
+                S["mw"][m] = jnp.full((h, w_), 1.0) * imw
                 S["bi"][m] = cf
                 S["mini"][m] = cf
                 S["maxi"][m] = cf
@@ -328,8 +366,8 @@ class MultiLayerBGS(BGSAlgorithm):
             decay = 1.0 - wlr / (1.0 + wuc * NM["mw"][m])
             wdec = jnp.where(active[m], NM["w"][m] * decay, NM["w"][m])
             at = slot_app == m
-            NM["w"][m] = jnp.where(at, cfg.init_mode_weight, wdec)
-            NM["mw"][m] = jnp.where(at, cfg.init_mode_weight, NM["mw"][m])
+            NM["w"][m] = jnp.where(at, imw, wdec)
+            NM["mw"][m] = jnp.where(at, imw, NM["mw"][m])
             NM["bi"][m] = jnp.where(at[None], cf, NM["bi"][m])
             NM["mini"][m] = jnp.where(at[None], cf, NM["mini"][m])
             NM["maxi"][m] = jnp.where(at[None], cf, NM["maxi"][m])

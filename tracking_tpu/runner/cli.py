@@ -462,6 +462,10 @@ def tracking_run(argv=None):
                 ana.load_data(args.bta_data)
                 print(f"bta_data: loaded analysis database from {args.bta_data}")
             bgs_state = algo.init(h, w, chunk.shape[3] if chunk.ndim == 4 else 1)
+            # MLBGS-style model preload (MultiLayerBGS.cpp:94-98 BGS->Load):
+            # any algorithm config exposing bg_model_preload loads its model
+            # (orbax checkpoint) before processing
+            preload = getattr(algo.config, "bg_model_preload", "")
             if args.loadstate:
                 from tracking_tpu.core.checkpoint import load_state
 
@@ -469,6 +473,11 @@ def tracking_run(argv=None):
                     args.loadstate, like={"bgs": bgs_state, "trk": trk_state}
                 )
                 bgs_state, trk_state = restored["bgs"], restored["trk"]
+            elif preload and _os.path.exists(preload):
+                from tracking_tpu.core.checkpoint import load_state
+
+                bgs_state = load_state(preload, like=bgs_state)
+                print(f"bg model: loaded {type(algo).__name__} model from {preload}")
             else:
                 bgs_state = jax.jit(algo.warm_start)(bgs_state, jnp.asarray(chunk[0]))
         bgs_state, trk_state, fgs, tracks = run_chunk(
@@ -543,6 +552,19 @@ def tracking_run(argv=None):
         from tracking_tpu.core.checkpoint import save_state
 
         save_state(args.savestate, {"bgs": bgs_state, "trk": trk_state})
+    # MLBGS finish(): in LEARN mode with saveModel the model is written to
+    # bg_model_preload (default models/MultiLayerBGSModel) for a later
+    # DETECT-mode preload (MultiLayerBGS.cpp:36-48)
+    if (
+        bgs_state is not None
+        and getattr(algo.config, "saveModel", False)
+        and getattr(algo.config, "status", "MLBGS_LEARN").upper().endswith("LEARN")
+    ):
+        from tracking_tpu.core.checkpoint import save_state
+
+        path = getattr(algo.config, "bg_model_preload", "") or "models/MultiLayerBGSModel"
+        save_state(path, bgs_state)
+        print(f"bg model: saved {type(algo).__name__} model to {path}")
     if args.track:
         # btgen= module selection (trackingMain.cpp:505-516); default YML,
         # with the file extension as a fallback heuristic
