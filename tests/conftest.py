@@ -82,6 +82,7 @@ SLOW_TESTS = {
     "test_ccmspf_keeps_ids_through_crossing",          # 44 s
     "test_bd_cc_uniform_motion_gate",                  # 40 s
     "test_checkpoint_roundtrip_any_algorithm",         # 57 s
+    "test_spatial_tracked_pipeline_exact",             # 157 s (round 3)
     "test_fgd_cooccurrence_absorbs_dynamic_background",  # 32 s
 }
 

@@ -293,3 +293,41 @@ def test_sharded_refresh_samples_exact():
     got_c, got_d = jax.jit(fn)(st_sh)
     for a, b in zip(got_c + got_d, want_c + want_d):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spatial_tracked_pipeline_exact():
+    """The FULL sharded pipeline — row-sharded BGS + sharded blob
+    extraction + replicated CC tracking (run_video_spatial_tracked) — is
+    bit-identical to the unsharded step->track chain: masks, final track
+    table, and per-frame track outputs."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from tracking_tpu.parallel.spatial import run_video_spatial_tracked
+    from tracking_tpu.track.tracker import BlobTracker
+
+    mesh = make_mesh(8, stream=1)
+    frames = _spatial_stream(64, 48)
+    algo = get_algorithm("SuBSENSEBGS")()
+    tracker = BlobTracker(trackerType="CC")
+    st_sp, ts_sp, masks_sp, xs_sp = run_video_spatial_tracked(
+        algo, tracker, frames, mesh
+    )
+
+    algo2 = get_algorithm("SuBSENSEBGS")()
+    tracker2 = BlobTracker(trackerType="CC")
+    st = algo2.init(*frames.shape[1:3], frames.shape[3])
+    st = jax.jit(algo2.warm_start)(st, frames[0])
+    ts = tracker2.init()
+    masks_un, xs_un = [], []
+    for f in frames:
+        st, fg, _bg = algo2.step(st, f)
+        ts, tracks = tracker2.step(ts, fg)
+        masks_un.append(np.asarray(fg))
+        xs_un.append(np.asarray(tracks.x))
+
+    np.testing.assert_array_equal(np.asarray(masks_sp), np.stack(masks_un))
+    np.testing.assert_array_equal(np.asarray(xs_sp), np.stack(xs_un))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ts_sp), jax.tree_util.tree_leaves(ts)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -552,6 +552,103 @@ def run_video_batch_spatial(
     return jax.jit(fn)(sharded_states, frames)
 
 
+def run_video_spatial_tracked(
+    algo,
+    tracker,
+    frames: jnp.ndarray,
+    mesh: Mesh,
+    states=None,
+    tracker_state=None,
+    halo: int = DEFAULT_HALO,
+    axis: str = "space",
+):
+    """ONE stream through the FULL multi-chip pipeline: row-sharded BGS
+    step (Pallas consensus on halo slabs) → row-sharded post-processing →
+    row-sharded blob extraction (:func:`sharded_extract_blobs`) →
+    replicated fixed-K tracking (association kernel + Kalman on the
+    psum'd blob table — O(K) work, no [H, W] data). This is the
+    configuration PERF.md's multi-chip budget costs out; masks, track
+    tables and per-frame track outputs are bit-identical to the unsharded
+    ``BGS step → tracker.step`` chain (tests/test_mesh.py).
+
+    Returns (bgs_state, tracker_state, masks [T, H, W], tracks_x
+    [T, K, state_dim]).
+    """
+    import inspect
+
+    from tracking_tpu.parallel.mesh import shard_map
+
+    if "ctx" not in inspect.signature(algo.step).parameters:
+        raise ValueError(
+            f"{type(algo).__name__}.step has no spatial-context support"
+        )
+    ttype = tracker.config.trackerType.upper()
+    ccmspf_plain = ttype == "CCMSPF" and not tracker.config.useMeanShiftCollision
+    if ttype != "CC" and not ccmspf_plain:
+        raise ValueError(
+            "the sharded tracked pipeline supports the CC tracker (the "
+            "mean-shift family and CCMSPF collision refinement window over "
+            "the full-frame mask; run those on gathered masks)"
+        )
+
+    n = mesh.shape[axis]
+    t, h = frames.shape[0], frames.shape[1]
+    w = frames.shape[2]
+    c = frames.shape[3] if frames.ndim == 4 else 1
+    if states is None:
+        states = algo.init(h, w, c)
+        states = jax.jit(algo.warm_start)(states, jnp.asarray(frames[0]))
+    if tracker_state is None:
+        tracker_state = tracker.init()
+
+    specs = spatial_specs(states, h, axis)
+    t_specs = jax.tree_util.tree_map(lambda _: P(), tracker_state)
+    frame_spec = P(None, axis, None, None) if frames.ndim == 4 else P(None, axis, None)
+    mask_spec = P(None, axis, None)
+
+    def local_fn(state, tstate, frames_loc):
+        ctx = SpatialCtx(axis, n, h, halo)
+        if frames_loc.ndim == 4:
+            fr = jnp.moveaxis(frames_loc, 3, 1)
+            fr = ctx.extend_plain(fr)
+            fr = jnp.moveaxis(fr, 1, 3)
+        else:
+            fr = ctx.extend_plain(frames_loc)
+
+        def body(carry, frame_ext):
+            st, ts = carry
+            st, fg, _bg = algo.step(st, frame_ext, ctx=ctx)
+            blobs = sharded_extract_blobs(
+                ctx, fg, max_blobs=tracker.config.maxBlobs
+            )
+            ts, tracks = tracker.step(ts, fg, blobs=blobs)
+            return (st, ts), (fg, tracks.x)
+
+        (state, tstate), (masks, xs) = jax.lax.scan(
+            body, (state, tstate), fr
+        )
+        return state, tstate, masks, xs
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(specs, t_specs, frame_spec),
+        out_specs=(specs, t_specs, mask_spec, P()),
+        check_rep=False,
+    )
+
+    sharded_states = jax.device_put(
+        states,
+        jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs),
+    )
+    tracker_state = jax.device_put(
+        tracker_state,
+        jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), t_specs),
+    )
+    frames = jax.device_put(frames, NamedSharding(mesh, frame_spec))
+    return jax.jit(fn)(sharded_states, tracker_state, frames)
+
+
 def run_video_spatial(
     algo,
     frames: jnp.ndarray,

@@ -222,12 +222,21 @@ class BlobTracker:
         state: TrackTable,
         fg_mask: jnp.ndarray,
         frame: jnp.ndarray | None = None,
+        blobs: Blobs | None = None,
     ) -> Tuple[TrackTable, Tracks]:
+        """One tracker step on a foreground mask.
+
+        ``blobs``: precomputed blob table — the spatially-sharded pipeline
+        (parallel/spatial.run_video_spatial_tracked) extracts blobs with the
+        row-sharded CC path and feeds the replicated table here, so the
+        full-frame mask is only needed for the mean-shift family / CCMSPF
+        collision refinement."""
         cfg = self.config
         K = cfg.maxTracks
         ttype = cfg.trackerType.upper()
         ms_family = ttype in ("MS", "MSFG", "MSPF")
-        blobs = extract_blobs(fg_mask, max_blobs=cfg.maxBlobs)
+        if blobs is None:
+            blobs = extract_blobs(fg_mask, max_blobs=cfg.maxBlobs)
         blob_ok = blobs.area >= cfg.minBlobArea
         blob_pos = _blob_xywh(blobs)
         fg_f = (fg_mask > 0).astype(jnp.float32)
