@@ -82,8 +82,9 @@ SLOW_TESTS = {
     "test_ccmspf_keeps_ids_through_crossing",          # 44 s
     "test_bd_cc_uniform_motion_gate",                  # 40 s
     "test_checkpoint_roundtrip_any_algorithm",         # 57 s
-    "test_spatial_tracked_pipeline_exact",             # 157 s (round 3)
+    "test_spatial_tracked_pipeline_exact",             # 157 s/param (round 3; round 4 adds CCMSPF + pipelined params)
     "test_fgd_cooccurrence_absorbs_dynamic_background",  # 32 s
+    "test_fgd_f16_long_horizon_real_content",          # 240 s (round 4; full 374-frame clip × 2 dtypes)
 }
 
 # The <5-minute loop: lightest representative(s) per module. Bare names

@@ -295,26 +295,63 @@ def test_sharded_refresh_samples_exact():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_spatial_tracked_pipeline_exact():
+def _crossing_stream(h, w, t=12):
+    """Two bright squares crossing on a clean background — confirmed tracks
+    whose predicted boxes overlap mid-sequence, so the CCMSPF mean-shift
+    collision resolver actually ENGAGES (not just compiles). Frame 0 is
+    pure background (warm_start learns it → crisp SuBSENSE masks); the
+    squares appear from frame 1 with vertical centers 7 px apart (< the
+    8-px box-overlap gate) moving toward each other at 4 px/frame. With
+    newBlobDetectFrames=3 both tracks confirm at frame 3 and the collision
+    condition holds frames 6-10 (probed: 10 track-frame engagements, two
+    stable ids through the crossing)."""
+    frames = np.full((t, h, w, 3), 30, np.uint8)
+    y = h // 2
+    for i in range(1, t):
+        xl = 4 + 4 * (i - 1)
+        xr = w - 12 - 4 * (i - 1)
+        frames[i, y - 11 : y - 3, xl : xl + 8] = 255
+        frames[i, y - 4 : y + 4, xr : xr + 8] = 220
+    return jnp.asarray(frames)
+
+
+@pytest.mark.parametrize(
+    "ttype,pipelined",
+    [("CC", False), ("CCMSPF", False), ("CCMSPF", True)],
+)
+def test_spatial_tracked_pipeline_exact(ttype, pipelined):
     """The FULL sharded pipeline — row-sharded BGS + sharded blob
-    extraction + replicated CC tracking (run_video_spatial_tracked) — is
+    extraction + replicated tracking (run_video_spatial_tracked) — is
     bit-identical to the unsharded step->track chain: masks, final track
-    table, and per-frame track outputs."""
+    table, and per-frame track outputs. Covers the reference's DEFAULT
+    tracker (CCMSPF with mean-shift collision resolution, psum-combined
+    window moments) and the software-pipelined tracking stage (tracking
+    one frame behind BGS; same tracker.step calls, same inputs, same
+    order — outputs must be identical, the one-frame latency is purely
+    schedule)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")
     from tracking_tpu.parallel.spatial import run_video_spatial_tracked
     from tracking_tpu.track.tracker import BlobTracker
 
     mesh = make_mesh(8, stream=1)
-    frames = _spatial_stream(64, 48)
+    if ttype == "CCMSPF":
+        # relaxed confirmation so the crossing engages within 12 frames
+        # (same knobs as tests/test_track.py's unsharded crossing test)
+        frames = _crossing_stream(64, 64, t=12)
+        tkw = dict(newBlobDetectFrames=3, minBlobArea=10, maxLostFrames=5)
+    else:
+        frames = _spatial_stream(64, 48)
+        tkw = {}
     algo = get_algorithm("SuBSENSEBGS")()
-    tracker = BlobTracker(trackerType="CC")
+    tracker = BlobTracker(trackerType=ttype, **tkw)
+    assert tracker.config.useMeanShiftCollision  # default stays on
     st_sp, ts_sp, masks_sp, xs_sp = run_video_spatial_tracked(
-        algo, tracker, frames, mesh
+        algo, tracker, frames, mesh, pipelined=pipelined
     )
 
     algo2 = get_algorithm("SuBSENSEBGS")()
-    tracker2 = BlobTracker(trackerType="CC")
+    tracker2 = BlobTracker(trackerType=ttype, **tkw)
     st = algo2.init(*frames.shape[1:3], frames.shape[3])
     st = jax.jit(algo2.warm_start)(st, frames[0])
     ts = tracker2.init()

@@ -1,0 +1,88 @@
+"""Validate the SHARDED program on the real TPU chip at S=1 (VERDICT r3 #4).
+
+Multi-chip hardware is not reachable from this host, so the strongest
+lowering evidence obtainable is a 1-device `jax.sharding.Mesh` run of the
+full sharded tracked pipeline ON THE REAL CHIP: shard_map still wraps the
+program, the ppermutes degenerate to identity/zero-fill, and — crucially —
+Mosaic must compile the row_ext consensus kernel, the raster fill/CC
+kernels under boundary injection, the psum'd convergence loops, and the
+psum-combined CCMSPF mean-shift — the exact kernels + collectives the
+S>1 deployment lowers, minus only the multi-device ICI rendezvous.
+
+Compares masks AND per-frame track outputs bit-for-bit vs the unsharded
+``BGS step → tracker.step`` chain run on the same chip, in both lockstep
+and pipelined-tracking schedules. Run directly (no pytest; needs the axon
+TPU):
+
+    python tools/tpu_s1_validate.py [n_frames]
+
+Writes a one-line JSON verdict to stdout; record the result in PERF.md.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_frames: int = 48) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tracking_tpu.core.registry import get_algorithm
+    from tracking_tpu.io.video import read_video
+    from tracking_tpu.parallel.mesh import make_mesh
+    from tracking_tpu.parallel.spatial import run_video_spatial_tracked
+    from tracking_tpu.track.tracker import BlobTracker
+
+    platform = jax.devices()[0].platform
+    video = "/root/reference/dataset/video.avi"
+    frames = jnp.asarray(read_video(video, max_frames=n_frames))
+    t, h, w, c = frames.shape
+
+    mesh = make_mesh(1, stream=1)
+    results = {"platform": platform, "frames": int(t), "shape": [h, w, c]}
+
+    # unsharded chain (same chip)
+    algo = get_algorithm("SuBSENSEBGS")()
+    tracker = BlobTracker(trackerType="CCMSPF")
+    st = algo.init(h, w, c)
+    st = jax.jit(algo.warm_start)(st, frames[0])
+    ts = tracker.init()
+
+    @jax.jit
+    def chain(st, ts, fr):
+        def body(carry, f):
+            st, ts = carry
+            st, fg, _bg = algo.step(st, f)
+            ts, tracks = tracker.step(ts, fg)
+            return (st, ts), (fg, tracks.x)
+
+        (st, ts), (masks, xs) = jax.lax.scan(body, (st, ts), fr)
+        return st, ts, masks, xs
+
+    _, _, masks_un, xs_un = chain(st, ts, frames)
+    masks_un, xs_un = np.asarray(masks_un), np.asarray(xs_un)
+
+    for mode, pipelined in (("lockstep", False), ("pipelined", True)):
+        algo2 = get_algorithm("SuBSENSEBGS")()
+        tracker2 = BlobTracker(trackerType="CCMSPF")
+        _, _, masks_sp, xs_sp = run_video_spatial_tracked(
+            algo2, tracker2, frames, mesh, pipelined=pipelined
+        )
+        masks_sp, xs_sp = np.asarray(masks_sp), np.asarray(xs_sp)
+        results[f"{mode}_masks_equal"] = bool((masks_sp == masks_un).all())
+        results[f"{mode}_tracks_equal"] = bool((xs_sp == xs_un).all())
+        results[f"{mode}_mask_agreement"] = float((masks_sp == masks_un).mean())
+
+    results["ok"] = all(
+        results[k] for k in results if k.endswith("_equal")
+    )
+    return results
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    print(json.dumps(main(n)))

@@ -188,11 +188,16 @@ class MultiLayerBGS(BGSAlgorithm):
                     "phase instead (chunk-granularity restart)"
                 )
             det_now = frame_idx > cfg.detectAfter
-            lr = jnp.where(det_now, lr_d, lr_l)
-            wlr = jnp.where(det_now, wlr_d, wlr_l)
-            imw = jnp.where(
-                det_now, cfg.detect_init_mode_weight, cfg.init_mode_weight
-            )
+            # The reference HARD-CODES the detect-phase parameters when the
+            # flip is triggered by detectAfter (MultiLayerBGS.cpp:206-209:
+            # 0.01 / 0.01 / 0.001, ignoring any configured detect_* values);
+            # match that exactly — user detect_* overrides apply only when
+            # status is set to MLBGS_DETECT directly.
+            lr_da = 0.01 * cfg.frame_duration
+            wlr_da = 0.01 * cfg.frame_duration
+            lr = jnp.where(det_now, lr_da, lr_l)
+            wlr = jnp.where(det_now, wlr_da, wlr_l)
+            imw = jnp.where(det_now, 0.001, cfg.init_mode_weight)
         else:
             lr = lr_d if detect else lr_l
             wlr = wlr_d if detect else wlr_l

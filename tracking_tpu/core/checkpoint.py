@@ -47,4 +47,17 @@ def load_state(path: str, like: Optional[Any] = None) -> Any:
         else a,
         like,
     )
-    return _checkpointer().restore(path, args=ocp.args.PyTreeRestore(abstract))
+    restored = _checkpointer().restore(
+        path, args=ocp.args.PyTreeRestore(abstract)
+    )
+    # Explicit dtype cast: checkpoints written before a state-dtype change
+    # (e.g. FGD's f32→f16 statistics planes) must load into the current
+    # state dtype rather than silently mismatching it downstream.
+    import jax.numpy as jnp
+
+    def _cast(r, l):
+        if hasattr(l, "dtype") and hasattr(r, "dtype") and r.dtype != l.dtype:
+            return jnp.asarray(r, l.dtype)
+        return r
+
+    return jax.tree_util.tree_map(_cast, restored, like)

@@ -91,7 +91,7 @@ def label_components(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
     fg = mask > 0
     iota = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
     lab = jnp.where(fg, iota, big)
-    lab = label_fixpoint(fg, lab, big, connectivity)
+    lab, _ = label_fixpoint(fg, lab, big, connectivity)
     return jnp.where(fg, lab, -1)
 
 
@@ -101,7 +101,7 @@ def label_fixpoint(
     big: int,
     connectivity: int = 8,
     base: int | jnp.ndarray = 0,
-) -> jnp.ndarray:
+):
     """Min-label fixpoint from arbitrary initial labels (the CC core, shared
     by :func:`label_components` and the spatially-sharded labeling in
     parallel/spatial.py).
@@ -112,6 +112,11 @@ def label_fixpoint(
     can only follow labels that point inside this slab — ``base`` is the
     slab's first global index; out-of-slab labels pass through uncompressed
     (min propagation still converges to the unique component minimum).
+
+    Returns ``(labels, converged)``: the XLA path always runs to its exact
+    fixpoint (converged=True); the TPU raster kernel path caps its rounds
+    and reports False when capped mid-change, which the sharded caller folds
+    into its global convergence flag.
     """
     H, W = fg.shape
     if jax.default_backend() == "tpu" and fg.ndim == 2:
@@ -145,7 +150,7 @@ def label_fixpoint(
         return carry[1]
 
     lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.array(True)))
-    return lab
+    return lab, jnp.bool_(True)
 
 
 class Blobs(NamedTuple):

@@ -254,7 +254,7 @@ def label_components_pallas(
         return new, ~at_fixed_point(new), it + 1
 
     def cond(state):
-        return state[1] & (state[2] < 16)
+        return state[1] & (state[2] < 64)
 
     lab, _, _ = jax.lax.while_loop(
         cond, body, (lab, jnp.bool_(True), jnp.zeros((), jnp.int32))
@@ -273,7 +273,7 @@ def label_fixpoint_pallas(
     big: int,
     connectivity: int = 8,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Min-label fixpoint from ARBITRARY initial labels (cc.label_fixpoint's
     TPU twin, used by the spatially-sharded CC in parallel/spatial.py where
     label values are global row-major indices over the full image and
@@ -283,7 +283,12 @@ def label_fixpoint_pallas(
     background must carry ``big``. Every raster pass runs with first=1 on
     the opening pass — injected labels make tiles enter locally UNconverged,
     which the in-kernel injection-skip (tuned for self-seeded iota labels)
-    must not skip. Returns the fixpoint with background still at ``big``.
+    must not skip. Returns ``(labels, converged)`` — labels with background
+    still at ``big``, and a bool that is False iff the 64-round cap was hit
+    while labels were still changing (pathological spiral components); the
+    sharded caller folds ``~converged`` into its psum'd ``changed`` flag so
+    a capped local pass forces another global round instead of silently
+    ending with wrong labels.
     """
     H, W = fg.shape
     conn8 = connectivity == 8
@@ -327,9 +332,9 @@ def label_fixpoint_pallas(
         return new, ~at_fixed_point(new), it + 1
 
     def cond(state):
-        return state[1] & (state[2] < 16)
+        return state[1] & (state[2] < 64)
 
-    lab, _, _ = jax.lax.while_loop(
+    lab, still_changing, _ = jax.lax.while_loop(
         cond, body, (lab, jnp.bool_(True), jnp.zeros((), jnp.int32))
     )
-    return lab[:H, :W]
+    return lab[:H, :W], ~still_changing

@@ -310,14 +310,16 @@ def sharded_label(
 
     def body(carry):
         lab, _ = carry
-        lab = label_fixpoint(fg, lab, big, connectivity, base=base)
+        lab, conv = label_fixpoint(fg, lab, big, connectivity, base=base)
         up = ctx._ppermute(lab[-1:], +1)  # prev shard's last row
         dn = ctx._ppermute(lab[:1], -1)  # next shard's first row
         row0_new = inject(lab[:1], up, ctx.idx > 0)
         rowl_new = inject(lab[-1:], dn, ctx.idx < ctx.n - 1)
         new = jnp.concatenate([row0_new, lab[1:-1], rowl_new], axis=0)
+        # a shard whose local raster pass hit its round cap un-converged
+        # must force another global round even if injection changed nothing
         changed = jax.lax.psum(
-            jnp.any(new != lab).astype(jnp.int32), ctx.conv_axes
+            (jnp.any(new != lab) | ~conv).astype(jnp.int32), ctx.conv_axes
         )
         return new, changed > 0
 
@@ -561,15 +563,34 @@ def run_video_spatial_tracked(
     tracker_state=None,
     halo: int = DEFAULT_HALO,
     axis: str = "space",
+    pipelined: bool = False,
 ):
     """ONE stream through the FULL multi-chip pipeline: row-sharded BGS
     step (Pallas consensus on halo slabs) → row-sharded post-processing →
     row-sharded blob extraction (:func:`sharded_extract_blobs`) →
     replicated fixed-K tracking (association kernel + Kalman on the
-    psum'd blob table — O(K) work, no [H, W] data). This is the
-    configuration PERF.md's multi-chip budget costs out; masks, track
-    tables and per-frame track outputs are bit-identical to the unsharded
-    ``BGS step → tracker.step`` chain (tests/test_mesh.py).
+    psum'd blob table — O(K) work, no [H, W] data). The reference's
+    DEFAULT tracker configuration — CCMSPF with mean-shift collision
+    resolution (``trackingMain.cpp:633``) — is supported: the collision
+    refinement runs as psum-combined window moments over the owned rows
+    (``track.meanshift.meanshift_refine_batch_sharded``), bit-exact vs the
+    full-frame refinement. This is the configuration PERF.md's multi-chip
+    budget costs out; masks, track tables and per-frame track outputs are
+    bit-identical to the unsharded ``BGS step → tracker.step`` chain
+    (tests/test_mesh.py).
+
+    ``pipelined=True`` software-pipelines the stateful tracking tail one
+    frame behind the BGS stage (the PERF.md "tracking pipelined" operating
+    point): scan step ``i`` runs BGS(i) and tracking(i−1) as
+    data-independent subgraphs, so the scheduler / a dedicated stage chip
+    can overlap the replicated association+Kalman tail with the next
+    frame's sharded BGS. The per-frame ordering the reference fixes
+    (frame t's tracks come from frame t's mask, ``trackingMain.cpp:
+    161-166``) is preserved — the SAME tracker.step calls run in the same
+    order with identical inputs, one scan step later — so masks, track
+    outputs and final state are bit-identical to the lockstep chain; only
+    the schedule (and, on real hardware, a one-frame output latency)
+    differs.
 
     Returns (bgs_state, tracker_state, masks [T, H, W], tracks_x
     [T, K, state_dim]).
@@ -583,12 +604,12 @@ def run_video_spatial_tracked(
             f"{type(algo).__name__}.step has no spatial-context support"
         )
     ttype = tracker.config.trackerType.upper()
-    ccmspf_plain = ttype == "CCMSPF" and not tracker.config.useMeanShiftCollision
-    if ttype != "CC" and not ccmspf_plain:
+    if ttype not in ("CC", "CCMSPF"):
         raise ValueError(
-            "the sharded tracked pipeline supports the CC tracker (the "
-            "mean-shift family and CCMSPF collision refinement window over "
-            "the full-frame mask; run those on gathered masks)"
+            "the sharded tracked pipeline supports the CC/CCMSPF trackers "
+            "(the MS family's color-backprojection windows sum float "
+            "histogram weights, which a psum split cannot reproduce "
+            "bit-exactly; run those on gathered masks)"
         )
 
     n = mesh.shape[axis]
@@ -621,12 +642,53 @@ def run_video_spatial_tracked(
             blobs = sharded_extract_blobs(
                 ctx, fg, max_blobs=tracker.config.maxBlobs
             )
-            ts, tracks = tracker.step(ts, fg, blobs=blobs)
+            ts, tracks = tracker.step(ts, fg, blobs=blobs, ctx=ctx)
             return (st, ts), (fg, tracks.x)
 
-        (state, tstate), (masks, xs) = jax.lax.scan(
-            body, (state, tstate), fr
+        def body_pipelined(carry, frame_ext):
+            st, ts, pfg, pblobs, pvalid = carry
+            # tracking(t-1): consumes only the carried blob table + mask
+            # slab — data-independent of this step's BGS(t) subgraph below,
+            # so the two overlap in the schedule. Runs unconditionally on
+            # the zero-initialized carry at step 0 (uniform collective
+            # count on every shard); the `where` discards that result.
+            ts_new, tracks = tracker.step(ts, pfg, blobs=pblobs, ctx=ctx)
+            ts = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(pvalid, a, b), ts_new, ts
+            )
+            st, fg, _bg = algo.step(st, frame_ext, ctx=ctx)
+            blobs = sharded_extract_blobs(
+                ctx, fg, max_blobs=tracker.config.maxBlobs
+            )
+            return (st, ts, fg, blobs, jnp.bool_(True)), (fg, tracks.x)
+
+        if not pipelined:
+            (state, tstate), (masks, xs) = jax.lax.scan(
+                body, (state, tstate), fr
+            )
+            return state, tstate, masks, xs
+
+        h_loc = h // n
+        fg0 = jnp.zeros((h_loc, w), jnp.uint8)
+        kb = tracker.config.maxBlobs
+        zi = jnp.zeros((kb,), jnp.int32)
+        zf = jnp.zeros((kb,), jnp.float32)
+        from tracking_tpu.ops.cc import Blobs
+
+        blobs0 = Blobs(
+            area=zi, cx=zf, cy=zf, x0=zi, y0=zi, x1=zi, y1=zi,
+            label=jnp.full((kb,), -1, jnp.int32),
         )
+        (state, tstate, lfg, lblobs, _), (masks, xs) = jax.lax.scan(
+            body_pipelined,
+            (state, tstate, fg0, blobs0, jnp.bool_(False)),
+            fr,
+        )
+        # drain: tracking for the last frame
+        tstate, tracks_last = tracker.step(
+            tstate, lfg, blobs=lblobs, ctx=ctx
+        )
+        xs = jnp.concatenate([xs[1:], tracks_last.x[None]], axis=0)
         return state, tstate, masks, xs
 
     fn = shard_map(

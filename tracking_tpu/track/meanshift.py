@@ -67,6 +67,69 @@ def meanshift_refine_batch(weight: jnp.ndarray, cys, cxs, iters: int = 5):
     return jax.vmap(lambda y, x: meanshift_refine(weight, y, x, iters))(cys, cxs)
 
 
+def meanshift_refine_batch_sharded(ctx, weight_own: jnp.ndarray, cys, cxs,
+                                   iters: int = 5):
+    """Row-sharded twin of :func:`meanshift_refine_batch`, BIT-EXACT vs the
+    unsharded refinement over the gathered mask.
+
+    ``weight_own`` is this shard's [h_loc, W] slab of the (binary, 0/1 f32)
+    FG weight image; ``ctx`` is a ``parallel.spatial.SpatialCtx``. Each
+    iteration computes the WIN×WIN window's first moments as per-shard
+    partial sums over the owned rows, combined with ONE `psum` of a
+    [3, K] table per iteration (6 tiny collective rounds total) — no [H, W]
+    data ever crosses ICI, which is what lets the CCMSPF collision resolver
+    (``trackingMain.cpp:633``) run inside the sharded tracked pipeline.
+
+    Exactness argument: the weight is binary, so the window mass and the
+    ``w·y`` / ``w·x`` moment sums are integer-valued with magnitude
+    < WIN²·WIN < 2²⁴ — exactly representable in f32 regardless of the
+    summation split, so the psum of per-shard partials equals the unsharded
+    window sum bit-for-bit, and every downstream divide/compare sees
+    identical operands. Each global row is owned by exactly one shard, so
+    no contribution is double-counted."""
+    h_loc, w = weight_own.shape
+    H = ctx.H
+    # zero-pad so any WIN-row slice around the slab is in range; padding rows
+    # never contribute (the ownership mask below zeroes them)
+    padded = jnp.pad(weight_own, ((WIN, WIN), (0, 0)))
+    ys = jnp.arange(WIN, dtype=jnp.float32)
+    xs = jnp.arange(WIN, dtype=jnp.float32)
+    i_win = jnp.arange(WIN)
+
+    def partial_moments(cy, cx):
+        y0 = jnp.clip(cy.astype(jnp.int32) - WIN // 2, 0, H - WIN)
+        x0 = jnp.clip(cx.astype(jnp.int32) - WIN // 2, 0, w - WIN)
+        ls = y0 - ctx.row0 + WIN  # window start in padded-local coords
+        ls_c = jnp.clip(ls, 0, h_loc + WIN)
+        win = jax.lax.dynamic_slice(padded, (ls_c, x0), (WIN, WIN))
+        # row i of the slice is global row row0 - WIN + ls_c + i; count it
+        # iff it is the intended window row y0+i AND this shard owns it
+        gi = ctx.row0 - WIN + ls_c + i_win
+        own = (gi == y0 + i_win) & (gi >= ctx.row0) & (gi < ctx.row0 + h_loc)
+        wf = win * own[:, None].astype(win.dtype)
+        m = jnp.sum(wf)
+        sy = jnp.sum(wf * ys[:, None])
+        sx = jnp.sum(wf * xs[None, :])
+        return m, sy, sx, y0, x0
+
+    def body(_, c):
+        cy, cx = c
+        m_p, sy_p, sx_p, y0, x0 = jax.vmap(partial_moments)(cy, cx)
+        m, sy, sx = jax.lax.psum(jnp.stack([m_p, sy_p, sx_p]), ctx.axis)
+        my = sy / jnp.maximum(m, 1e-6)
+        mx = sx / jnp.maximum(m, 1e-6)
+        ok = m > 0
+        return (
+            jnp.where(ok, y0.astype(jnp.float32) + my, cy),
+            jnp.where(ok, x0.astype(jnp.float32) + mx, cx),
+        )
+
+    cys, cxs = jax.lax.fori_loop(0, iters, body, (cys * 1.0, cxs * 1.0))
+    m_p, _, _, _, _ = jax.vmap(partial_moments)(cys, cxs)
+    mass = jax.lax.psum(m_p, ctx.axis)
+    return cys, cxs, mass
+
+
 @partial(jax.jit, static_argnames=("bins",))
 def backproject(frame_u8: jnp.ndarray, hist: jnp.ndarray, bins: int = 8):
     """[H, W, 3] u8 + [bins³] template histogram → [H, W] weight image.

@@ -223,14 +223,19 @@ class BlobTracker:
         fg_mask: jnp.ndarray,
         frame: jnp.ndarray | None = None,
         blobs: Blobs | None = None,
+        ctx=None,
     ) -> Tuple[TrackTable, Tracks]:
         """One tracker step on a foreground mask.
 
         ``blobs``: precomputed blob table — the spatially-sharded pipeline
         (parallel/spatial.run_video_spatial_tracked) extracts blobs with the
-        row-sharded CC path and feeds the replicated table here, so the
-        full-frame mask is only needed for the mean-shift family / CCMSPF
-        collision refinement."""
+        row-sharded CC path and feeds the replicated table here.
+
+        ``ctx``: a ``parallel.spatial.SpatialCtx`` when ``fg_mask`` is this
+        shard's [h_loc, W] slab instead of the full frame — the CCMSPF
+        mean-shift collision refinement then runs as psum-combined window
+        moments over the owned rows (meanshift_refine_batch_sharded),
+        bit-exact vs the full-frame refinement."""
         cfg = self.config
         K = cfg.maxTracks
         ttype = cfg.trackerType.upper()
@@ -239,7 +244,14 @@ class BlobTracker:
             blobs = extract_blobs(fg_mask, max_blobs=cfg.maxBlobs)
         blob_ok = blobs.area >= cfg.minBlobArea
         blob_pos = _blob_xywh(blobs)
-        fg_f = (fg_mask > 0).astype(jnp.float32)
+        # fg_f is only consumed by the mean-shift paths (CCMSPF collision
+        # refinement / MS family); computing it lazily keeps the sharded
+        # caller (run_video_spatial_tracked, which passes a shard-local
+        # slab) from materializing per-shard-different replicated state on
+        # the CC / collision-disabled paths (ADVICE r3).
+        fg_f = None
+        if ms_family or (cfg.useMeanShiftCollision and ttype == "CCMSPF"):
+            fg_f = (fg_mask > 0).astype(jnp.float32)
         if frame is not None and frame.ndim == 2:
             frame = jnp.repeat(frame[..., None], 3, -1)
 
@@ -259,7 +271,10 @@ class BlobTracker:
             # overlap, the CC measurement is ambiguous — refine each
             # colliding track's measurement by mean-shift over the FG mask.
             if cfg.useMeanShiftCollision and ttype == "CCMSPF":
-                from tracking_tpu.track.meanshift import meanshift_refine_batch
+                from tracking_tpu.track.meanshift import (
+                    meanshift_refine_batch,
+                    meanshift_refine_batch_sharded,
+                )
 
                 px, py = pred_pos[:, 0], pred_pos[:, 1]
                 pw = jnp.maximum(pred_pos[:, 2], 4.0)
@@ -274,7 +289,12 @@ class BlobTracker:
                     & ~jnp.eye(K, dtype=bool)
                 )
                 colliding = jnp.any(overlap, axis=1) & matched
-                ms_y, ms_x, ms_mass = meanshift_refine_batch(fg_f, py, px)
+                if ctx is not None:
+                    ms_y, ms_x, ms_mass = meanshift_refine_batch_sharded(
+                        ctx, fg_f, py, px
+                    )
+                else:
+                    ms_y, ms_x, ms_mass = meanshift_refine_batch(fg_f, py, px)
                 ms_ok = colliding & (ms_mass > 0)
                 z = z.at[:, 0].set(jnp.where(ms_ok, ms_x, z[:, 0]))
                 z = z.at[:, 1].set(jnp.where(ms_ok, ms_y, z[:, 1]))
