@@ -142,7 +142,6 @@ class DPTextureBGS(BGSAlgorithm):
         f3 = frame if frame.ndim == 3 else jnp.repeat(frame[..., None], 3, -1)
         h, w = f3.shape[:2]
         t = state["t"]
-        cur = self._histograms(f3)  # [3, 64, H, W] u8
 
         valid = np.zeros((h, w), bool)
         valid[BORDER : h - BORDER, BORDER : w - BORDER] = True
@@ -150,8 +149,23 @@ class DPTextureBGS(BGSAlgorithm):
 
         model = state["model"]
 
-        # u8 min with an i32 accumulator — no widened [3, 64, H, W] copies
-        prox = jnp.sum(jnp.minimum(model, cur), axis=(0, 1), dtype=jnp.int32)
+        # Fused Pallas path on TPU: LBP code → windowed histogram →
+        # intersection in VMEM per tile (the XLA one-hot/reduce_window chain
+        # pushes ~700 MB of intermediates through HBM per 720p frame).
+        # TRACKING_TPU_TEXTURE=xla restores the XLA formulation; =interp
+        # forces the interpret-mode kernel (CPU parity tests).
+        tex_env = os.environ.get("TRACKING_TPU_TEXTURE", "pallas")
+        if (jax.default_backend() == "tpu" and tex_env != "xla") or tex_env == "interp":
+            from tracking_tpu.ops.pallas_texture import texture_prox_cur_pallas
+
+            codes = jnp.stack([_lbp6(f3[..., ch]) for ch in range(3)])
+            prox, cur = texture_prox_cur_pallas(
+                codes, model, interpret=tex_env == "interp"
+            )
+        else:
+            cur = self._histograms(f3)  # [3, 64, H, W] u8
+            # u8 min with an i32 accumulator — no widened [3, 64, H, W] copies
+            prox = jnp.sum(jnp.minimum(model, cur), axis=(0, 1), dtype=jnp.int32)
         fg = jnp.where((prox < self.THRESHOLD) & valid, jnp.uint8(255), jnp.uint8(0))
 
         # transposed-mask update (see module docstring): pixel (y,x) updates
