@@ -1088,12 +1088,12 @@ class SuBSENSE(BGSAlgorithm):
         # decisions. `rand() % rate == 0` events become uniform-float draws
         # u·rate < 1 — identical Bernoulli(1/rate) marginals without
         # per-pixel integer division (slow on the VPU).
-        # NOTE: a fused Pallas version of this stage exists
-        # (ops/pallas_feedback.feedback_pallas, parity-tested) but measured
+        # NOTE: a standalone Pallas kernel of this stage was built, measured
         # SLOWER in-context (0.81 vs 0.63 ms/frame in isolation, ~1 ms worse
-        # end-to-end): the stage is purely elementwise, XLA fuses it into
-        # the surrounding ops for free, and the pallas_call boundary forces
-        # 59 full-map HBM materializations. XLA wins; see PERF.md.
+        # end-to-end — the stage is purely elementwise, XLA fuses it into
+        # the surrounding ops for free, and the pallas_call boundary forced
+        # 59 full-map HBM materializations), kept two rounds as a
+        # parity-tested artifact, then deleted. XLA wins; see PERF.md.
         from tracking_tpu.ops.pallas_feedback import FeedbackConsts, feedback_xla
 
         # counter-hash field instead of threefry: same uniform marginals,

@@ -1,12 +1,17 @@
-"""Pallas TPU kernel: fused SuBSENSE feedback / update-decision stage.
+"""SuBSENSE feedback / update-decision stage (shared per-pixel math).
 
 Covers everything between the sample consensus and the morphology post-proc
 of ``pl/BackgroundSubtractorSuBSENSE.cpp:327-431`` — the unstable-region
 mask, rolling means, ghost detection, the stochastic model-update decisions,
 the R/T/v feedback controllers, blink bookkeeping and the
-nonzero-descriptor map. In the XLA formulation this stage is ~25 separate
-[H, W] map passes plus 9 independent ``jax.random`` field generations;
-fused, every map crosses HBM exactly once per direction.
+nonzero-descriptor map. The stage is purely elementwise, so XLA fuses it
+into the surrounding consensus inputs/outputs for free: a standalone Pallas
+kernel version measured 0.81 ms in isolation and ~1 ms WORSE end-to-end
+(the pallas_call boundary forced 59 full-map HBM materializations) and was
+deleted after two rounds as a parity-tested artifact — the negative result
+lives in PERF.md ("Negative results"). :func:`_core` is also the feedback
+epilogue of the opt-in fused whole-step kernel
+(``pallas_consensus.consensus_feedback_pallas``).
 
 Randomness: the reference draws ``rand() % rate`` per pixel. Here ONE
 ``jax.random.bits`` call produces 4 u32 words per pixel and
@@ -18,22 +23,16 @@ fallback and the TPU kernel consume *bit-identical* draw streams and make
 (cooldown-vs-self update, 3×3-vs-5×5 spread target/slot): per-decision
 marginals are unchanged and a pixel takes exactly one branch.
 
-The per-pixel math lives in :func:`_core`, plain jnp on values; the Pallas
-kernel and :func:`feedback_xla` both call it, so the two paths cannot
-drift (validated exactly by the interpret-mode parity test).
+The per-pixel math lives in :func:`_core`, plain jnp on values;
+:func:`feedback_xla` and the fused-step kernel both call it, so the paths
+cannot drift.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-BH, BW = 16, 256
 
 
 class FeedbackConsts(NamedTuple):
@@ -76,10 +75,6 @@ class FeedbackOut(NamedTuple):
     T: jnp.ndarray
     v: jnp.ndarray
     R: jnp.ndarray
-
-
-N_INT_OUT = 13
-N_F32_OUT = 8
 
 
 def _popcount16_i32(x):
@@ -228,50 +223,9 @@ def _core(
     )
 
 
-def _tensor_args(
-    count, mind, mins, required, roi, planes, intras, last_colors,
-    last_descs, bits, mean_last, dmin_lt, dmin_st, raw_lt, raw_st,
-    final_lt, final_st, R, T, v, last_final, blinks_old, last_blink_mask,
-    last_raw, last_dil_inv,
-):
-    """Flatten to (int_tensors, f32_tensors) in a fixed order."""
-    ints = (
-        [count, mind, mins, required, roi]
-        + list(planes) + list(intras) + list(last_colors) + list(last_descs)
-        + [bits[i] for i in range(4)]
-        + [last_final, blinks_old, last_blink_mask, last_raw, last_dil_inv]
-    )
-    f32s = [mean_last, dmin_lt, dmin_st, raw_lt, raw_st, final_lt, final_st, R, T, v]
-    return ints, f32s
-
-
-def _unflatten(C, ints, f32s):
-    i = iter(ints)
-
-    def take(n):
-        return tuple(next(i) for _ in range(n))
-
-    count, mind, mins, required, roi = take(5)
-    planes, intras, last_colors, last_descs = (take(C) for _ in range(4))
-    bits = take(4)
-    last_final, blinks_old, last_blink_mask, last_raw, last_dil_inv = take(5)
-    (mean_last, dmin_lt, dmin_st, raw_lt, raw_st, final_lt, final_st,
-     R, T, v) = f32s
-    return dict(
-        count=count, mind=mind, mins=mins, required=required, roi=roi,
-        planes=planes, intras=intras, last_colors=last_colors,
-        last_descs=last_descs, bits=bits, mean_last=mean_last,
-        dmin_lt=dmin_lt, dmin_st=dmin_st, raw_lt=raw_lt, raw_st=raw_st,
-        final_lt=final_lt, final_st=final_st, R=R, T=T, v=v,
-        last_final=last_final, blinks_old=blinks_old,
-        last_blink_mask=last_blink_mask, last_raw=last_raw,
-        last_dil_inv=last_dil_inv,
-    )
-
-
 def feedback_xla(tensors, scalars, *, C, N, use3x3_global, k) -> FeedbackOut:
-    """XLA fallback: the same math, whole-array (CPU path + parity oracle).
-    ``tensors``: dict as produced by the caller (see ``_unflatten`` keys),
+    """The deployed formulation on every backend: whole-array elementwise
+    maps that XLA fuses with the consensus kernel's inputs/outputs.
     ``scalars``: (a_lt, a_st, lr_lower, lr_upper, cooldown)."""
     a_lt, a_st, lr_lower, lr_upper, cooldown = scalars
     tensors = {
@@ -287,78 +241,3 @@ def feedback_xla(tensors, scalars, *, C, N, use3x3_global, k) -> FeedbackOut:
         lr_upper=lr_upper, cooldown=cooldown,
         C=C, N=N, use3x3_global=use3x3_global, k=k, as_i32=False,
     )
-
-
-def _make_kernel(C, N, use3x3_global, k):
-    n_int_in = 5 + 4 * C + 4 + 5
-    n_f32_in = 10
-
-    def kernel(*refs):
-        fscal = refs[0]  # SMEM [1,4]: a_lt, a_st, lr_lower, lr_upper
-        iscal = refs[1]  # SMEM [1,1]: cooldown
-        # inputs arrive in native dtype (u8 planes/masks, u16 descs, i32
-        # counts); widen per-tile in VMEM — casting whole maps outside the
-        # kernel would burn HBM bandwidth
-        ints = [r[...].astype(jnp.int32) for r in refs[2 : 2 + n_int_in]]
-        f32s = [r[...] for r in refs[2 + n_int_in : 2 + n_int_in + n_f32_in]]
-        outs = refs[2 + n_int_in + n_f32_in :]
-        t = _unflatten(C, ints, f32s)
-        res = _core(
-            **t,
-            a_lt=fscal[0, 0], a_st=fscal[0, 1],
-            lr_lower=fscal[0, 2], lr_upper=fscal[0, 3],
-            cooldown=iscal[0, 0],
-            C=C, N=N, use3x3_global=use3x3_global, k=k,
-        )
-        for ref, val in zip(outs, res):
-            ref[...] = val
-
-    return kernel
-
-
-@partial(jax.jit, static_argnames=("C", "N", "use3x3_global", "k", "interpret"))
-def feedback_pallas(
-    tensors, scalars, *, C, N, use3x3_global, k, interpret=False
-) -> FeedbackOut:
-    """Fused feedback stage. Same contract as :func:`feedback_xla`."""
-    a_lt, a_st, lr_lower, lr_upper, cooldown = scalars
-    ints, f32s = _tensor_args(**tensors)
-    H, W = ints[0].shape
-    ph, pw = (-H) % BH, (-W) % BW
-
-    def pad(a, dt=None):
-        a = a if dt is None or a.dtype == dt else a.astype(dt)
-        if ph == 0 and pw == 0:
-            return a
-        return jnp.pad(a, ((0, ph), (0, pw)))
-
-    # bool→u8 only (1-byte copies); numeric tensors pass in native dtype
-    # and widen per-tile inside the kernel
-    args = (
-        jnp.stack(
-            [jnp.float32(a_lt), jnp.float32(a_st),
-             jnp.float32(lr_lower), jnp.float32(lr_upper)]
-        ).reshape(1, 4),
-        jnp.asarray(cooldown, jnp.int32).reshape(1, 1),
-        *[pad(a, jnp.uint8 if a.dtype == jnp.bool_ else None) for a in ints],
-        *[pad(a, jnp.float32) for a in f32s],
-    )
-    Hp, Wp = H + ph, W + pw
-    grid = (Hp // BH, Wp // BW)
-    spec2 = pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    fscal_spec = pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
-    iscal_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
-    n_in = len(ints) + len(f32s)
-    out_shape = (
-        [jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * N_INT_OUT
-        + [jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)] * N_F32_OUT
-    )
-    res = pl.pallas_call(
-        _make_kernel(C, N, use3x3_global, k),
-        grid=grid,
-        in_specs=[fscal_spec, iscal_spec] + [spec2] * n_in,
-        out_specs=[spec2] * (N_INT_OUT + N_F32_OUT),
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*args)
-    return FeedbackOut(*(a[:H, :W] for a in res))
