@@ -38,7 +38,9 @@ by reassociation ulps — decisions threshold far from the knife edge.)
 from __future__ import annotations
 
 import dataclasses
+import os
 
+import jax
 import jax.numpy as jnp
 
 from tracking_tpu.bgs.base import BGSAlgorithm, State, StepResult
@@ -89,6 +91,35 @@ class GMG(BGSAlgorithm):
         K, lr, prior = cfg.maxFeatures, cfg.learningRate, cfg.backgroundPrior
         t = state["t"]
         code = _quantize(frame, cfg.quantizationLevels)
+
+        # Fused Pallas path on TPU: the whole list update in one VMEM pass
+        # (the XLA formulation's ~20 [K, H, W] passes push ~5 GB of state
+        # through HBM per 720p frame). TRACKING_TPU_GMG=xla restores the XLA
+        # formulation; =interp forces the interpret-mode kernel (CPU parity
+        # tests). Weight sums may differ by reassociation ulps on
+        # normalization frames (same tolerance as the tree reductions
+        # documented above); everything else matches XLA bit-for-bit.
+        gmg_env = os.environ.get("TRACKING_TPU_GMG", "pallas")
+        if (jax.default_backend() == "tpu" and gmg_env != "xla") or gmg_env == "interp":
+            from tracking_tpu.ops.pallas_gmg import gmg_step_pallas
+
+            fg_raw, nf1, new_colors, new_weights = gmg_step_pallas(
+                code, state["nf"], state["colors"], state["weights"], t,
+                lr=lr, prior=prior, thr=cfg.decisionThreshold,
+                init_frames=cfg.initializationFrames,
+                interpret=gmg_env == "interp",
+            )
+            fg = fg_raw.astype(jnp.uint8)
+            if cfg.smoothingRadius > 0:
+                fg = binary_median_blur(fg, cfg.smoothingRadius)
+            bg = jnp.zeros(frame.shape, jnp.uint8)
+            return (
+                {"t": t + 1, "colors": new_colors, "weights": new_weights,
+                 "nf": nf1},
+                fg,
+                bg,
+            )
+
         training = t < cfg.initializationFrames
 
         colors = state["colors"]  # [K, H, W] u32
