@@ -376,15 +376,17 @@ def _ensure_lbpmrf_oracle() -> bool:
 
 def test_golden_lbpmrf_vs_reference_cpp(frames, tmp_path):
     """LbpMrf vs the compiled ck package (tests/oracle/lbpmrf_oracle.cpp,
-    md_LBPHistograms mode per LbpMrf.cpp:29). This is the one algorithm
-    with a DOCUMENTED structural deviation: the reference optimizes its
-    DLBP-histogram motion field with a Boykov-Kolmogorov max-flow graph cut
-    (MotionDetection.cpp:1181-1276) which has no data-parallel equivalent;
-    the rebuild uses fixed-iteration ICM relaxation (bgs/lbp_mrf.py, per
-    SURVEY §7). Measured on dataset/video.avi: pixel agreement 0.9527 over
-    130 frames; settled-phase moving-object IoU 0.63-0.68 (frames 60-130);
-    the warm-up windows diverge (different histogram-learning dynamics) so
-    the IoU gate applies to the settled phase only."""
+    md_LBPHistograms mode per LbpMrf.cpp:29). Round 4 removed the one
+    structural deviation: the MRF mask is now the EXACT BK-parity integer
+    min-cut (ops/mincut.py — parallel push-relabel + the canonical
+    not-source-reachable labeling, including the reference's (short)
+    truncation of the sink weight), replacing the rounds-1..3 ICM
+    relaxation. Measured on dataset/video.avi: pixel agreement 0.9527 →
+    0.9736 over 130 frames; settled-phase moving-object IoU 0.63-0.68 →
+    0.803 (frames 60-130). The remaining gap is accumulated f32-vs-float
+    drift in the histogram learning dynamics (intersection thresholds at
+    0.75/0.95 knife edges), not the solver; the warm-up windows diverge
+    most, so the IoU gate applies to the settled phase only."""
     if not _ensure_lbpmrf_oracle():
         pytest.skip("ck reference sources unavailable")
     out = str(tmp_path / "lbpmrf")
@@ -401,11 +403,11 @@ def test_golden_lbpmrf_vs_reference_cpp(frames, tmp_path):
     _, masks = run_video(algo, frames[:n])
     m = np.asarray(masks)
     agree = (m == ref).mean()
-    assert agree >= 0.94, f"lbpmrf: agreement {agree:.5f}"
+    assert agree >= 0.96, f"lbpmrf: agreement {agree:.5f}"
     pred, gt = m[60:] > 0, ref[60:] > 0
     inter = (pred & gt).sum((1, 2), dtype=np.float64)
     union = (pred | gt).sum((1, 2), dtype=np.float64)
     live = union > 0
     iou = float((inter[live] / union[live]).mean())
-    assert iou >= 0.55, f"lbpmrf settled IoU {iou:.3f}"
+    assert iou >= 0.75, f"lbpmrf settled IoU {iou:.3f}"
     assert (gt.mean() > 0.01) and (pred.mean() > 0.01)  # non-vacuous

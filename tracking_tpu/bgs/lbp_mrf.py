@@ -23,11 +23,13 @@ Per frame (``DetectMotionsHU`` ``:504-602``):
    the top-weight set covering 0.95 (``UpdateHUPixelData`` ``:806-950``);
    BackgroundRate = best intersection among background histograms;
 4. mask (``GetMotionsMaskHU`` ``:1256-1366``): a 2-label MRF with unary
-   (FG=1 vs BG=8·(1−rate)) and unit Potts pairwise on the 4-neighbor grid
+   (FG=1 vs BG=(short)(8·(1−rate)) — the reference truncates the sink
+   weight to an integer) and unit Potts pairwise on the 4-neighbor grid
    (no edges for x==0/y==0 nodes — faithful); the reference solves it by
-   BK max-flow — **TPU deviation: red/black ICM relaxation (8 sweeps) of the
-   same energy** (min-cut is its global optimum; ICM from the unary-optimal
-   init agrees except near threshold ties); model pixels paint a
+   BK max-flow. Solved EXACTLY since round 4 by the BK-parity integer
+   min-cut in ops/mincut.py (parallel push–relabel + the canonical
+   not-source-reachable labeling; the rounds-1..3 ICM relaxation survives
+   as ``mrf_solver="icm"``); model pixels paint a
    checkerboard (row y+3 / col x+2 offsets — faithful off-center), gaps
    filled by ≥2-of-4 neighbor vote, corner-seeded hole filling, 3×3 erode.
 """
@@ -124,6 +126,9 @@ def _lbp_special(gray: jnp.ndarray) -> jnp.ndarray:
 @dataclasses.dataclass(frozen=True)
 class LbpMrfConfig(BGSConfig):
     showOutput: bool = True
+    # "exact" = BK-parity integer min-cut (round 4); "icm" = the historical
+    # red/black relaxation deviation
+    mrf_solver: str = "exact"
     icm_sweeps: int = 8
 
 
@@ -218,11 +223,35 @@ class LbpMrf(BGSAlgorithm):
         ), bg_rate
 
     def _mrf_cut(self, bg_rate):
-        """ICM relaxation of the reference's min-cut energy (see docstring).
-        Labels: 1 = FG (sink). E = Σ fg·1 + bg·8(1−rate) + Σ 4-conn disagree
-        (edges only between nodes with x>0 & y>0, faithful)."""
+        """The reference's 2-label MRF mask (``GetMotionsMaskHU``
+        ``:1279-1321``), solved EXACTLY by default.
+
+        The reference builds ``set_tweights(v, 1, (short)(8·(1−rate)))`` —
+        the sink weight is TRUNCATED to an integer — plus unit 4-neighbor
+        edges (only for nodes with x>0 & y>0), runs BK max-flow, and labels
+        ``what_segment == SINK`` as FG. ``mrf_solver="exact"`` (default)
+        reproduces that bit-for-bit: integer capacities, BK's terminal-edge
+        cancellation (``graph.cpp:72``), exact parallel push–relabel, and
+        the canonical not-source-reachable cut (ops/mincut.py; validated
+        vs scipy maximum_flow). ``mrf_solver="icm"`` keeps the round-1..3
+        red/black ICM relaxation of the (untruncated) energy — the
+        documented historical deviation, retained for A/B."""
         cfg = self.config
         gh, gw = bg_rate.shape
+
+        if cfg.mrf_solver == "exact":
+            from tracking_tpu.ops.mincut import grid_mincut_sink_mask
+
+            # (short int)(8f * (1 − rate)): f32 product truncated toward 0
+            t_cap = jnp.trunc(
+                jnp.float32(MINCUT_W) * (1.0 - bg_rate)
+            ).astype(jnp.int32)
+            tr_cap = 1 - t_cap  # BK's tr_cap = cap_source − cap_sink
+            has = np.zeros((gh, gw), bool)
+            has[1:, 1:] = True
+            has = jnp.asarray(has)
+            return grid_mincut_sink_mask(tr_cap, has, has)
+
         u_fg = jnp.ones((gh, gw), jnp.float32)
         u_bg = MINCUT_W * (1.0 - bg_rate)
         lab = (u_fg < u_bg).astype(jnp.float32)  # FG where unary-cheaper
