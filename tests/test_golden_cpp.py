@@ -88,7 +88,9 @@ CASES = [
     # family_oracle.cpp run_kde; SJN_MultiCueBGS::process is itself the
     # wrapper — measured 0.9889, residue = the documented structural
     # deviations in bgs/multicue.py: fixed-capacity codebooks, full-image
-    # Canny, chamfer Hausdorff, 64-box cap).
+    # Canny, chamfer Hausdorff, 64-box cap; see the round-4 residue
+    # profile in that docstring — near-exact before frame 60, motion-peak
+    # blob-boundary/interior divergence after, no whole-box ghost flips).
     ("kde", "KDE", 0.9995, None),
     ("multicue", "SJN_MultiCueBGS", 0.98, None),
     # round-2 additions, root package (process() is the whole algorithm —
