@@ -92,7 +92,9 @@ CASES = [
     # profile in that docstring — near-exact before frame 60, motion-peak
     # blob-boundary/interior divergence after, no whole-box ghost flips).
     ("kde", "KDE", 0.9995, None),
-    ("multicue", "SJN_MultiCueBGS", 0.98, None),
+    # gate tightened 0.98 -> 0.985 in round 4 (deterministic algorithm on a
+    # fixed clip; 0.9889 measured, so the gate now locks the achieved level)
+    ("multicue", "SJN_MultiCueBGS", 0.985, None),
     # round-2 additions, root package (process() is the whole algorithm —
     # FrameDifferenceBGS.cpp:29-60 and siblings; MyBGS.cpp:6-28). All
     # rand()-free; the float ones get a hair of slack for accumulation /
