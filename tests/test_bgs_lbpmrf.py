@@ -8,10 +8,18 @@ from tracking_tpu.runner import run_video
 
 
 def test_lbpmrf_static_scene_stays_background():
+    """Static scene: background from frame 3 on. Frames 1-2 are the
+    reference's faithful warm-up artifact — the short-memcpy partial init
+    leaves histogram bins 2+ zero (MotionDetection.cpp column-branch
+    ``sizeof(CurrentHistogram2)``), so the first real intersections are
+    gutted and the reference emits near-all-FG masks until the replace
+    path installs full histograms (round 5; see bgs/lbp_mrf.py)."""
     rng = np.random.default_rng(0)
     frames = np.tile(rng.integers(60, 200, (1, 40, 60, 3), np.uint8), (8, 1, 1, 1))
     _, masks = run_video(get_algorithm("LbpMrf")(), jnp.asarray(frames))
-    assert np.asarray(masks).sum() == 0
+    m = np.asarray(masks)
+    assert m[0].sum() == 0
+    assert m[3:].sum() == 0
 
 
 def test_lbpmrf_detects_textured_object():

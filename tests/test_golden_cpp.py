@@ -380,17 +380,30 @@ def _ensure_lbpmrf_oracle() -> bool:
 
 def test_golden_lbpmrf_vs_reference_cpp(frames, tmp_path):
     """LbpMrf vs the compiled ck package (tests/oracle/lbpmrf_oracle.cpp,
-    md_LBPHistograms mode per LbpMrf.cpp:29). Round 4 removed the one
-    structural deviation: the MRF mask is now the EXACT BK-parity integer
-    min-cut (ops/mincut.py — parallel push-relabel + the canonical
-    not-source-reachable labeling, including the reference's (short)
-    truncation of the sink weight), replacing the rounds-1..3 ICM
-    relaxation. Measured on dataset/video.avi: pixel agreement 0.9527 →
-    0.9736 over 130 frames; settled-phase moving-object IoU 0.63-0.68 →
-    0.803 (frames 60-130). The remaining gap is accumulated f32-vs-float
-    drift in the histogram learning dynamics (intersection thresholds at
-    0.75/0.95 knife edges), not the solver; the warm-up windows diverge
-    most, so the IoU gate applies to the settled phase only."""
+    md_LBPHistograms mode per LbpMrf.cpp:29). Round 4 removed the solver
+    deviation (exact BK-parity integer min-cut, ops/mincut.py). Round 5
+    retired the round-4 "f32 drift" attribution by ISOLATING the real
+    causes (tools/lbpmrf_twin.py, LBPMRF_TWIN.json):
+
+    1. the reference's short-memcpy partial init (``MotionDetection.cpp``
+       column branch: ``sizeof(CurrentHistogram2)`` = 2 floats) leaves
+       histogram bins 2+ zero on first init — the reference emits ~95 %-FG
+       masks on frames 1-2 that the repo didn't replicate (~55 % of the
+       round-4 residue);
+    2. missing sRGB companding in the Luv front end (OpenCV's 8U path
+       bakes gamma into its LUT) shifted gray by up to 23 levels;
+    3. three exact tie-break/ordering quirks in UpdateHUPixelData (see
+       bgs/lbp_mrf.py:_update_models) that bind on the early frames'
+       exact intersection/weight ties.
+
+    With all three replicated: pixel agreement 0.9527 (r3) → 0.9736 (r4)
+    → 0.9917; settled-phase moving-object IoU 0.803 → 0.867 (frames
+    60-130). The remaining ~0.8 % is the cv2 fixed-point trilinear-LUT
+    interpolation of the Luv conversion (repo: float formula, within ±1
+    u8 level on every channel — ~10 % of LBP codes sit one level from a
+    compare threshold) plus genuine f32-vs-float drift at the 0.75/0.95
+    knife edges; the f64 twin (a third implementation) sits at the same
+    distance from both, pinning the no-semantic-gap claim."""
     if not _ensure_lbpmrf_oracle():
         pytest.skip("ck reference sources unavailable")
     out = str(tmp_path / "lbpmrf")
@@ -407,11 +420,11 @@ def test_golden_lbpmrf_vs_reference_cpp(frames, tmp_path):
     _, masks = run_video(algo, frames[:n])
     m = np.asarray(masks)
     agree = (m == ref).mean()
-    assert agree >= 0.96, f"lbpmrf: agreement {agree:.5f}"
+    assert agree >= 0.985, f"lbpmrf: agreement {agree:.5f}"
     pred, gt = m[60:] > 0, ref[60:] > 0
     inter = (pred & gt).sum((1, 2), dtype=np.float64)
     union = (pred | gt).sum((1, 2), dtype=np.float64)
     live = union > 0
     iou = float((inter[live] / union[live]).mean())
-    assert iou >= 0.75, f"lbpmrf settled IoU {iou:.3f}"
+    assert iou >= 0.85, f"lbpmrf settled IoU {iou:.3f}"
     assert (gt.mean() > 0.01) and (pred.mean() > 0.01)  # non-vacuous

@@ -19,8 +19,13 @@ Per frame (``DetectMotionsHU`` ``:504-602``):
    structural quirk of ``UpdateModelHU``'s sliding loops ``:604-806``):
    masked 5×5 histogram; intersections vs 3 stored histograms; all < 0.75 ⇒
    replace the min-weight histogram (w=0.01, renormalize, non-bg); else blend
-   the best match and EMA the weights, re-selecting background histograms as
-   the top-weight set covering 0.95 (``UpdateHUPixelData`` ``:806-950``);
+   the best match and EMA the weights, re-selecting background histograms by
+   the reference's single-bubble-pass + tail-cumulative-0.95 rule
+   (``UpdateHUPixelData`` ``:806-950``; exact quirk semantics — including
+   the short-memcpy partial init that makes frames 1-2 nearly all-FG, the
+   highest-index intersection tie-break and the 0→2→1 min-weight visit
+   order — in the ``_update_models`` docstring; isolated by
+   ``tools/lbpmrf_twin.py``, round 5);
    BackgroundRate = best intersection among background histograms;
 4. mask (``GetMotionsMaskHU`` ``:1256-1366``): a 2-label MRF with unary
    (FG=1 vs BG=(short)(8·(1−rate)) — the reference truncates the sink
@@ -72,10 +77,20 @@ SAMPLE_PX = int(_MASK.sum())
 
 def _rgb2luv_u8(img: jnp.ndarray) -> jnp.ndarray:
     """OpenCV CV_RGB2Luv on u8 (channel 0 treated as R — the reference feeds
-    BGR data through MEImage's RGB pipeline, so the swap is faithful)."""
+    BGR data through MEImage's RGB pipeline, so the swap is faithful).
+
+    The 8U path applies sRGB inverse companding before XYZ (OpenCV's
+    RGB2Luv_b bakes gamma into its interpolation LUT; verified against
+    cv2 on gray ramps — L(128) = 136, not the linear-RGB 194). Omitting
+    the gamma shifted gray by up to 23 levels and flipped ~20 % of LBP
+    codes — the dominant front-end term of the round-4 golden residue."""
     r = img[..., 0].astype(jnp.float32) / 255.0
     g = img[..., 1].astype(jnp.float32) / 255.0
     b = img[..., 2].astype(jnp.float32) / 255.0
+    gam = lambda c: jnp.where(
+        c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4
+    )
+    r, g, b = gam(r), gam(g), gam(b)
     x = 0.412453 * r + 0.357580 * g + 0.180423 * b
     y = 0.212671 * r + 0.715160 * g + 0.072169 * b
     z = 0.019334 * r + 0.119193 * g + 0.950227 * b
@@ -159,8 +174,41 @@ class LbpMrf(BGSAlgorithm):
                     acc = acc + onehot[:, dy : dy + gh, dx : dx + gw]
         return acc
 
-    def _update_models(self, st, hist_now, reset):
-        """UpdateHUPixelData vectorized over the model grid."""
+    def _update_models(self, st, hist_now, reset, fresh=None, full_fresh=None):
+        """UpdateHUPixelData (``MotionDetection.cpp:806-960``) vectorized
+        over the model grid — including the reference's exact tie-break and
+        warm-up quirks (all load-bearing on this clip; isolated by the f64
+        twin experiment, tools/lbpmrf_twin.py / LBPMRF_TWIN.json):
+
+        - best match: iteration ``i = NH-1 … 0`` with a STRICT compare, so
+          intersection ties keep the HIGHEST index (early frames tie
+          exactly — identical histograms give integer/13 intersections);
+        - replace target: min-weight search visits index 0 first, then
+          NH-1 … 1 (strict), so weight ties prefer 0, then the highest;
+        - background selection (``:908-950``): ONE adjacent-swap pass
+          ``i = NH-1 … 1`` (swap on ``<=``) — NOT a full sort (for NH = 3
+          it only guarantees the global min lands at position 0) — then
+          positions are added tail-first while the cumulative weight stays
+          ≤ BG_THRES (the C++ breaks AFTER the crossing add, so the
+          crossing position itself is included); everything below the
+          break is false. In the settled weights≈[1, ε, ε′] state this
+          keeps TWO background histograms (the dominant one plus whichever
+          small one the swap pass left on top) where a true sorted-prefix
+          rule keeps one — a stale-but-matching histogram can then hold
+          bg_rate high;
+        - fresh/init (``UpdateModelHU :648-698,734-792``): the bulk-grid
+          branch's ``memcpy(…, CurrentHistogram2, sizeof(CurrentHistogram2))``
+          copies ``sizeof(float*)`` = 2 floats — bins 2+ keep their prior
+          contents (fresh-heap ZEROS on first allocation — what the
+          compiled oracle empirically produces — or the pre-reset model
+          values on a scene-cut re-init). Only the last-column pre-visit
+          (``y%2 == gw%2`` rows) uses the full-size memcpy — passed in as
+          ``full_fresh``. With 8-bin histograms holding 2-bit codes
+          (everything lives in bins 0-3), the zero tails gut the first
+          intersections and the reference emits ~95 %-FG masks on frames
+          1-2; not replicating this was the bulk of the round-4 golden
+          residue (agreement 0.9736).
+        """
         h = st["hist"]
         w = st["weights"]
         bgf = st["bg_flag"]
@@ -169,13 +217,20 @@ class LbpMrf(BGSAlgorithm):
         inter = jnp.sum(jnp.minimum(hist_now[None], h), axis=1) / SAMPLE_PX  # [NH,...]
         bg_rate = jnp.max(jnp.where(bgf, inter, -1.0), axis=0)
         bg_rate = jnp.maximum(bg_rate, 0.0)
-        best = jnp.argmax(inter, axis=0)
+        # ties keep the highest index (strict < improvement, i = NH-1 … 0)
+        best = (NH - 1) - jnp.argmax(inter[::-1], axis=0)
         best_oh = jnp.arange(NH)[:, None, None] == best[None]
         replace = jnp.all(inter < PR_THRES, axis=0)
 
-        # replace path: overwrite min-weight histogram, w=0.01, renormalize
-        minw = jnp.argmin(w, axis=0)
-        min_oh = jnp.arange(NH)[:, None, None] == minw[None]
+        # replace path: overwrite min-weight histogram, w=0.01, renormalize.
+        # Visit order 0, then NH-1 … 1 with strict improvement (:848-857).
+        min_i = jnp.zeros_like(best)
+        min_w = w[0]
+        for i in range(NH - 1, 0, -1):
+            better = w[i] < min_w
+            min_i = jnp.where(better, i, min_i)
+            min_w = jnp.minimum(min_w, w[i])
+        min_oh = jnp.arange(NH)[:, None, None] == min_i[None]
         w_rep = jnp.where(min_oh, 0.01, w)
         w_rep = w_rep / jnp.sum(w_rep, axis=0, keepdims=True)
         h_rep = jnp.where(min_oh[:, None], hist_now[None], h)
@@ -187,32 +242,54 @@ class LbpMrf(BGSAlgorithm):
             best_oh[:, None], (1.0 - lr)[None, None] * h + lr[None, None] * hist_now[None], h
         )
         w_upd = lr[None] * best_oh.astype(jnp.float32) + (1.0 - lr)[None] * w
-        # background selection: top weights covering BG_THRES. Include model
-        # i iff the summed weight of models ranking strictly before it
-        # (greater weight; ties by original position) is ≤ BG_THRES — the
-        # sorted-prefix rule without the sort. The argsort +
-        # 2×take_along_axis formulation cost per-pixel gathers over the
-        # model grid (~50 ms/frame of the algorithm's 70 at 720p).
-        before = [jnp.zeros_like(w_upd[0]) for _ in range(NH)]
+        # background selection: the reference's single bubble pass + tail
+        # cumulative (module-docstring quirk above). Positions carry
+        # (weight, original index) through the swap network.
+        pos_w = [w_upd[i] for i in range(NH)]
+        pos_i = [jnp.full_like(best, i) for i in range(NH)]
+        for i in range(NH - 1, 0, -1):
+            swap = pos_w[i] <= pos_w[i - 1]
+            pos_w[i], pos_w[i - 1] = (
+                jnp.where(swap, pos_w[i - 1], pos_w[i]),
+                jnp.where(swap, pos_w[i], pos_w[i - 1]),
+            )
+            pos_i[i], pos_i[i - 1] = (
+                jnp.where(swap, pos_i[i - 1], pos_i[i]),
+                jnp.where(swap, pos_i[i], pos_i[i - 1]),
+            )
+        added = []
+        cum = jnp.zeros_like(w_upd[0])
+        for k in range(NH - 1, -1, -1):  # tail-first, f32 adds in C++ order
+            added.append((k, cum <= BG_THRES))
+            cum = cum + pos_w[k]
+        bgf_upd = []
         for i in range(NH):
-            for j in range(NH):
-                if i == j:
-                    continue
-                j_first = (
-                    (w_upd[j] > w_upd[i])
-                    if j > i
-                    else (w_upd[j] >= w_upd[i])
-                )
-                before[i] = before[i] + jnp.where(j_first, w_upd[j], 0.0)
-        bgf_upd = jnp.stack([before[i] <= BG_THRES for i in range(NH)])
+            flag = jnp.zeros_like(bgf[0])
+            for k, a in added:
+                flag = jnp.where(pos_i[k] == i, a, flag)
+            bgf_upd.append(flag)
+        bgf_upd = jnp.stack(bgf_upd)
 
         hist2 = jnp.where(replace[None, None], h_rep, h_upd)
         w2 = jnp.where(replace[None], w_rep, w_upd)
         bgf2 = jnp.where(replace[None], bgf_rep, bgf_upd)
 
-        # reset / first-init path: all three histograms = current
-        fresh = reset | ~st["inited"]
-        hist2 = jnp.where(fresh[None, None], hist_now[None], hist2)
+        # fresh path (first init / scene-cut re-init): bins 0-1 from the
+        # current histogram, bins 2+ keep prior contents (the short-memcpy
+        # quirk; zeros on first init since the state starts zeroed) — except
+        # the full-size last-column pre-visit (full_fresh).
+        if fresh is None:
+            fresh = reset | ~st["inited"]
+        else:
+            fresh = fresh | reset
+        if full_fresh is not None:
+            h_fresh = jnp.broadcast_to(full_fresh[None], h.shape)
+        else:
+            h_fresh = jnp.concatenate(
+                [jnp.broadcast_to(hist_now[None, :2], (NH, 2) + h.shape[2:]), h[:, 2:]],
+                axis=1,
+            )
+        hist2 = jnp.where(fresh[None, None], h_fresh, hist2)
         w2 = jnp.where(fresh[None], 1.0 / NH, w2)
         bgf2 = jnp.where(fresh[None], True, bgf2)
         life = jnp.where(fresh, 0, life)
@@ -318,7 +395,19 @@ class LbpMrf(BGSAlgorithm):
         extra_rows = (jnp.arange(gh) % 2) == (gw % 2)
         extra_mask = jnp.zeros((gh, gwm), bool).at[:, gwm - 1].set(True) & extra_rows[:, None]
         hist_extra = jnp.broadcast_to(hist_all[:, :, gw - 1 : gw], (BINS, gh, gwm))
-        st2, _ = self._update_models(state, hist_extra, jnp.zeros((gh, gwm), bool))
+        # fresh = first frame or scene cut, frozen BEFORE the pre-visit so
+        # BOTH visits take their init paths on those frames (the reference's
+        # MDDataState == ps_Initialized holds for the whole UpdateModelHU
+        # pass): the last-column pre-visit re-inits FULLY from its own
+        # window (full-size memcpy), the main visit then re-inits bins 0-1
+        # from the hist_now window on top (short memcpy) — yielding the
+        # reference's hybrid first histograms on the double-visited column.
+        reset_grid = jnp.broadcast_to(reset_all, (gh, gwm))
+        fresh0 = reset_grid | ~state["inited"]
+        zero_reset = jnp.zeros((gh, gwm), bool)
+        st2, _ = self._update_models(
+            state, hist_extra, zero_reset, fresh=fresh0, full_fresh=hist_extra
+        )
         st = {
             k: (
                 jnp.where(
@@ -332,8 +421,7 @@ class LbpMrf(BGSAlgorithm):
         }
 
         hist_now = hist_all[:, :, 0 : 2 * gwm : 2]  # windows at even x
-        reset_grid = jnp.broadcast_to(reset_all, (gh, gwm))
-        st, bg_rate = self._update_models(st, hist_now, reset_grid)
+        st, bg_rate = self._update_models(st, hist_now, zero_reset, fresh=fresh0)
 
         fg_model = self._mrf_cut(bg_rate)  # [gh, gwm]
 
