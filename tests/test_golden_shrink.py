@@ -160,22 +160,42 @@ def test_golden_shrink_vs_reference_cpp(tmp_path):
         [cv2.imread(os.path.join(out, f"mask_{i:04d}.png"), 0) for i in range(N)]
     )
     frames = jnp.asarray(read_video(VIDEO, max_frames=N))
+    import jax
+
     algo = get_algorithm("shrinkBGS")()
-    _, masks = run_video(algo, frames)
-    masks = np.asarray(masks)
+    h, w, c = frames.shape[1], frames.shape[2], frames.shape[3]
+    seed_masks = []
+    for seed in (7, 11, 23):
+        state = algo.init(h, w, c)
+        state["key"] = jax.random.PRNGKey(seed)
+        state = jax.jit(algo.warm_start)(state, frames[0])
+        _, masks_s = run_video(algo, frames, state=state)
+        seed_masks.append(np.asarray(masks_s))
+    masks = seed_masks[0]
     # Early window (bootstrap phase, small FG): measured 0.968.
     early = slice(1, 30)
     agree_early = (masks[early] == ref[early]).mean()
     assert agree_early >= 0.95, f"early agreement {agree_early:.5f}"
-    # Settled window: measured 0.933. On this fixture shrinkBGS (both
-    # implementations) collapses into a ~50%-FG ghost regime — lr anneals
-    # to 0 under the wide mask (shrinkbgs.cpp:502-505) so thresholds
-    # freeze and FG sticks; independent stochastic draws then compound at
-    # the huge mask boundary, which bounds achievable agreement well below
-    # the deterministic families' 0.999 gates.
+    # Settled window. On this fixture shrinkBGS (both implementations)
+    # collapses into a ~50%-FG ghost regime — lr anneals to 0 under the
+    # wide mask (shrinkbgs.cpp:502-505) so thresholds freeze and FG
+    # sticks; independent stochastic draws then compound at the huge mask
+    # boundary, which bounds achievable agreement well below the
+    # deterministic families' 0.999 gates. Gate: 3-seed MEAN ≥ 0.93
+    # (measured 0.933 at seed 7; the multi-seed mean pins the stochastic
+    # defense instead of one draw — VERDICT r4 #10), each seed ≥ 0.90.
     settled = slice(40, N)
-    agree = (masks[settled] == ref[settled]).mean()
-    assert agree >= 0.90, f"settled agreement {agree:.5f}"
+    per_seed = [
+        (m[settled] == ref[settled]).mean() for m in seed_masks
+    ]
+    for a in per_seed:
+        assert a >= 0.90, f"settled agreement (one seed) {a:.5f}"
+    mean_agree = float(np.mean(per_seed))
+    assert mean_agree >= 0.93, (
+        f"settled 3-seed mean {mean_agree:.5f} (seeds: "
+        f"{[round(float(a), 5) for a in per_seed]})"
+    )
+    agree = per_seed[0]
     # both implementations must be IN that regime (same FG magnitude)
     ref_fg = (ref[settled] > 0).mean()
     our_fg = (masks[settled] > 0).mean()

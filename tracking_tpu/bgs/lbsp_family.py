@@ -258,7 +258,7 @@ def _use_v2() -> bool:
     background color sum. Per-pixel write *marginals* are identical to v1 —
     the slot index is only a storage position, drawn uniformly either way —
     but v2 never needs the full-bank write-back, which lets the TPU walk
-    kernel fetch bank slot-groups on demand (ops/pallas_consensus2).
+    kernel fetch bank slot-groups on demand (now attic/pallas_consensus2.py).
 
     TPU A/B verdicts (PERF.md "Consensus v2/v3 A/B"): v2's manual grouped
     DMA regresses (156.7 vs 209.4 fps BGS-only) — Mosaic's automatic block
@@ -272,11 +272,20 @@ def _use_v2() -> bool:
     across 4 alternating runs, with v1 matching its earlier-session numbers.
 
     v1 (fused deferred-write kernel) is therefore the DEFAULT.
-    TRACKING_TPU_CONSENSUS=v3 selects the read-only-walk variant, =v2 the
-    grouped-DMA research artifact. CPU/TPU masks stay bit-identical within
-    each mode (the read kernel is exact vs the XLA scan,
-    tests/test_consensus_v2.py)."""
-    return os.environ.get("TRACKING_TPU_CONSENSUS", "v1") != "v1"
+    TRACKING_TPU_CONSENSUS=v3 selects the read-only-walk variant. The v2
+    grouped-DMA kernel was ATTICIZED round 5 (attic/pallas_consensus2.py)
+    per its recorded negative verdict; =v2 now raises with a pointer.
+    CPU/TPU masks stay bit-identical within each mode (the read kernel is
+    exact vs the XLA scan, tests/test_consensus_v3.py)."""
+    mode = os.environ.get("TRACKING_TPU_CONSENSUS", "v1")
+    if mode == "v2":
+        raise RuntimeError(
+            "TRACKING_TPU_CONSENSUS=v2 (grouped-DMA walk) was retired to "
+            "attic/pallas_consensus2.py — a measured regression (PERF.md "
+            "'Consensus v2 A/B'); use v3 for the eager-update research "
+            "path, or see attic/README.md to reproduce the v2 A/B"
+        )
+    return mode != "v1"
 
 
 def _resolve_spread_xla(vals, u3, u5, col_dtype, desc_dtype, shift_src):
@@ -864,7 +873,7 @@ class SuBSENSE(BGSAlgorithm):
             and (fused_interp or os.environ.get("TRACKING_TPU_FUSED") == "1")
         )
         use_pallas = on_tpu and not v2 and not use_fused
-        use_pallas_v2 = on_tpu and v2  # walk-only kernel (pallas_consensus2)
+        use_pallas_v2 = on_tpu and v2  # read-only walk kernel (v3)
         # spatial sharding: the SAME fused v1 kernel runs per shard on
         # halo-extended plane/pending slabs with owned-size banks
         # (consensus_pallas row_ext contract) — the sharded path is the
@@ -1008,19 +1017,14 @@ class SuBSENSE(BGSAlgorithm):
             )
             intra_desc = tuple(d.astype(jnp.uint16) for d in k_intra)
         elif use_pallas_v2:
-            # v2/v3 TPU path: read-only walk kernel; banks are already
+            # v3 TPU path: read-only walk kernel; banks are already
             # current (updates applied eagerly at the previous step's end
-            # in XLA). v3 = v1's auto-pipelined full-bank blocks without
-            # write-back; v2 = manual grouped DMA (pallas_consensus2). Both
-            # are opt-in measured-regression research artifacts (PERF.md).
-            if os.environ.get("TRACKING_TPU_CONSENSUS") == "v2":
-                from tracking_tpu.ops.pallas_consensus2 import (
-                    consensus_walk_pallas,
-                )
-            else:
-                from tracking_tpu.ops.pallas_consensus import (
-                    consensus_read_pallas as consensus_walk_pallas,
-                )
+            # in XLA) — v1's auto-pipelined full-bank blocks without
+            # write-back. Opt-in measured-regression research artifact
+            # (PERF.md; the v2 grouped-DMA sibling lives in attic/).
+            from tracking_tpu.ops.pallas_consensus import (
+                consensus_read_pallas as consensus_walk_pallas,
+            )
 
             bg_sums = state["bg_sum"]
             count, min_desc, min_sum, k_intra = consensus_walk_pallas(

@@ -600,7 +600,7 @@ def _make_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp):
 def _make_read_kernel(C, N, rel, div, hi_const, gray_mode, min_cd, desc_off, interp):
     """Read-only variant (consensus v3): banks arrive as plain VMEM *inputs*
     (full-bank blocks, auto-pipelined by Mosaic across grid steps — no manual
-    DMA, unlike ops/pallas_consensus2) and are never written back; the ≤3
+    DMA, unlike the atticized grouped-DMA v2 kernel, attic/pallas_consensus2.py) and are never written back; the ≤3
     stochastic slot writes happen eagerly in XLA via frame-global slot draws
     (bgs/lbsp_family._apply_updates_global). Refs order:
     [plane blocks×9×C, colors×C, descs×C, delta, R, unstable, req]
@@ -792,13 +792,13 @@ def consensus_read_pallas(
 ):
     """Consensus v3: the v1 walk on read-only full-bank VMEM blocks.
 
-    Same signature/return as ``pallas_consensus2.consensus_walk_pallas``:
+    Same signature/return as the retired ``attic/pallas_consensus2.py:consensus_walk_pallas``:
     banks are *inputs* (already current — the caller applies the stochastic
     writes eagerly via frame-global slot draws, bgs/lbsp_family
     ``_apply_updates_global``), Mosaic auto-pipelines the full-bank block
     DMA across grid steps, and nothing is written back — the ~0.5 ms/frame
     write half of the v1 bank traffic disappears while keeping v1's DMA
-    pipelining (which pallas_consensus2's manual grouped DMA lost, PERF.md).
+    pipelining (which the v2 kernel's manual grouped DMA lost, PERF.md; attic/).
     Returns (count, min_desc, min_sum, intra) cropped to [H, W]."""
     C = len(planes)
     N = colors[0].shape[0]
