@@ -72,11 +72,13 @@ def test_fgd_min_area_gate_drops_specks():
 
 
 def test_fgd_f16_statistics_track_f32():
-    """The P/Pb Bayes statistics are stored f16 (HBM lever, fgd.STAT_DTYPE);
-    the model is a re-derivation with behavioral gates, so the dtype is a
-    free design choice — but pin that f16 decisions track an f32 run on
-    dynamic content (agreement >= 0.995 over the clip, exact on the final
-    settled frame's foreground count within 1%)."""
+    """The P/Pb Bayes statistics are stored f16 (HBM lever, fgd.STAT_DTYPE;
+    round-5 dtype survey: bf16 rejected — it stalls the alpha2 absorption
+    dynamic — and f32 exact but +1.4 ms/frame); the model is a
+    re-derivation with behavioral gates, so the dtype is a free design
+    choice — but pin that f16 decisions track an f32 run on dynamic
+    content (agreement >= 0.995 over the clip, settled foreground count
+    within 1%)."""
     rng = np.random.default_rng(3)
     base = rng.integers(0, 220, (40, 60, 3), np.uint8)
     frames = np.repeat(base[None], 50, axis=0).copy()

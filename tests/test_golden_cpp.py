@@ -93,7 +93,15 @@ CASES = [
     # blob-boundary/interior divergence after, no whole-box ghost flips).
     ("kde", "KDE", 0.9995, None),
     # gate tightened 0.98 -> 0.985 in round 4 (deterministic algorithm on a
-    # fixed clip; 0.9889 measured, so the gate now locks the achieved level)
+    # fixed clip; 0.9889 measured, so the gate locks the achieved level).
+    # CI-triage note (ADVICE r4): the ~0.004 margin is intentional — the
+    # algorithm is rand()-free but agreement compares two float stacks
+    # (XLA vs the compiled OpenCV oracle), so a toolchain change can move
+    # the measured value by ~1e-3; if this gate flakes after an upgrade,
+    # re-measure before suspecting a regression. Round 5 pinned the
+    # per-ROI-Canny deviation at ≤ 2.1 % of the residue
+    # (MULTICUE_CANNY.json; bgs/multicue.py docstring) — the remaining
+    # residue is the documented capacity/chamfer/reduced-res terms.
     ("multicue", "SJN_MultiCueBGS", 0.985, None),
     # round-2 additions, root package (process() is the whole algorithm —
     # FrameDifferenceBGS.cpp:29-60 and siblings; MyBGS.cpp:6-28). All

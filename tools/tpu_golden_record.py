@@ -1,0 +1,117 @@
+"""Run the on-TPU golden suite and record a machine-readable artifact.
+
+VERDICT r4 #5: the TPU-side validations existed only as prose — this tool
+re-runs them on the real chip and commits the measurements:
+
+- the deployed Pallas consensus path (SuBSENSE/LOBSTER, gray + color) vs
+  the reference C++ compiled in place (tests/oracle/subsense_oracle) —
+  the same cases as tests/test_tpu_golden.py;
+- the DPTexture fused kernel vs the compiled family oracle;
+- the round-5 fused kernels (MultiLayerBGS, FGD tables) — hardware kernel
+  vs the XLA formulation of the SAME update function, gated bit-exact
+  (masks and every carried state leaf).
+
+Writes TPU_GOLDEN.json. Run on the axon TPU from the repo root:
+
+    python tools/tpu_golden_record.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VIDEO = "/root/reference/dataset/video.avi"
+ORACLE_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "oracle")
+
+
+def oracle_masks(binary, algo, n, gray=False):
+    import cv2
+
+    with tempfile.TemporaryDirectory() as tmp:
+        subprocess.run(
+            [os.path.join(ORACLE_DIR, binary), algo, VIDEO, tmp, str(n)]
+            + (["gray"] if gray else []),
+            check=True,
+            capture_output=True,
+        )
+        return np.stack(
+            [cv2.imread(os.path.join(tmp, f"mask_{i:04d}.png"), 0) for i in range(n)]
+        )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tracking_tpu.core.registry import get_algorithm
+    from tracking_tpu.io.video import read_video
+    from tracking_tpu.runner.scan import run_video
+
+    out = {"platform": jax.devices()[0].platform, "cases": {}}
+    assert jax.default_backend() == "tpu", "run on the real TPU"
+
+    # 1) Pallas consensus path vs compiled reference C++
+    for algo, gray, n, gate in (
+        ("subsense", True, 50, 0.999),
+        ("subsense", False, 40, 0.999),
+        ("lobster", True, 50, 0.999),
+        ("lobster", False, 40, 0.999),
+    ):
+        ref = oracle_masks("subsense_oracle", algo, n, gray)
+        frames = read_video(VIDEO, max_frames=n, gray=gray)
+        _, masks = run_video(get_algorithm(algo)(), jnp.asarray(frames))
+        agree = float((np.asarray(masks) == ref).mean())
+        key = f"{algo}_{'gray' if gray else 'color'}"
+        out["cases"][key] = {"agreement": agree, "gate": gate, "pass": agree > gate}
+        print(key, agree, flush=True)
+
+    # 2) DPTexture fused kernel vs compiled family oracle
+    n = 40
+    ref = oracle_masks("family_oracle", "texture", n)
+    frames = read_video(VIDEO, max_frames=n)
+    _, masks = run_video(get_algorithm("DPTextureBGS")(), jnp.asarray(frames))
+    agree = float((np.asarray(masks) == ref).mean())
+    out["cases"]["texture"] = {"agreement": agree, "gate": 0.995, "pass": agree > 0.995}
+    print("texture", agree, flush=True)
+
+    # 3) round-5 fused kernels: hardware kernel vs XLA path, bit-exact
+    for name, env in (("MultiLayerBGS", "TRACKING_TPU_MULTILAYER"),
+                      ("FGD", "TRACKING_TPU_FGD")):
+        frames = jnp.asarray(read_video(VIDEO, max_frames=24))
+        os.environ[env] = "xla"
+        jax.clear_caches()
+        s1, m1 = run_video(get_algorithm(name)(), frames)
+        os.environ[env] = "pallas"
+        jax.clear_caches()
+        s2, m2 = run_video(get_algorithm(name)(), frames)
+        del os.environ[env]
+        m1, m2 = np.asarray(m1), np.asarray(m2)
+        leaves_eq = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)
+            )
+        )
+        ok = bool((m1 == m2).all()) and leaves_eq
+        out["cases"][f"{name.lower()}_kernel_vs_xla"] = {
+            "mask_agreement": float((m1 == m2).mean()),
+            "state_leaves_equal": leaves_eq,
+            "gate": "bit-exact",
+            "pass": ok,
+        }
+        print(name, "kernel-vs-xla bit-exact:", ok, flush=True)
+
+    out["ok"] = all(c["pass"] for c in out["cases"].values())
+    print(json.dumps(out, indent=1))
+    with open("TPU_GOLDEN.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,9 @@ TPU):
 
     python tools/tpu_s1_validate.py [n_frames]
 
-Writes a one-line JSON verdict to stdout; record the result in PERF.md.
+Writes the JSON verdict to stdout AND to S1_VALIDATE.json at the repo
+root — the committed machine-readable artifact (VERDICT r4 #5);
+regenerate alongside BENCH/SWEEP at end of round.
 """
 
 import json
@@ -85,4 +87,7 @@ def main(n_frames: int = 48) -> dict:
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    print(json.dumps(main(n)))
+    res = main(n)
+    print(json.dumps(res))
+    with open("S1_VALIDATE.json", "w") as f:
+        json.dump(res, f, indent=1)

@@ -38,7 +38,9 @@ form emitted ~2000 separate [H, W] map ops that XLA fused poorly (67 fps at
 from __future__ import annotations
 
 import dataclasses
+import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,35 +82,73 @@ def _quant(planes, levels):
     return tuple(p >> shift for p in planes)
 
 
-def _first_match(match):
-    """(has [H, W], one-hot-first [N, H, W]) over [N, H, W] match flags via
-    an exclusive cumulative count — entry n is "first" iff it matches and no
-    earlier entry does."""
-    m = match.astype(jnp.int32)
-    first = match & ((jnp.cumsum(m, axis=0) - m) == 0)
-    return jnp.any(match, axis=0), first
+def _first_match(match, unroll=False):
+    """(has [H, W], one-hot-first [N, H, W]) over [N, H, W] match flags —
+    entry n is "first" iff it matches and no earlier entry does.
+
+    Two formulations with IDENTICAL exact (boolean/integer) semantics:
+    the vectorized exclusive-cumsum for XLA (the unrolled chain measured
+    ~2.4 ms/frame slower — it breaks XLA's reduction fusion, the same
+    failure the module docstring records for full unrolls), and a
+    running-or unroll for the Pallas kernel (Mosaic cannot lower
+    cumsum)."""
+    if not unroll:
+        m = match.astype(jnp.int32)
+        first = match & ((jnp.cumsum(m, axis=0) - m) == 0)
+        return jnp.any(match, axis=0), first
+    firsts = []
+    seen = jnp.zeros_like(match[0])
+    for i in range(match.shape[0]):
+        firsts.append(match[i] & ~seen)
+        seen = seen | match[i]
+    return seen, jnp.stack(firsts)
 
 
 class _Table:
-    """Mode-major Bayes table: keys [N, Ck, H, W] u8, P / Pb [N, H, W] f32."""
+    """Mode-major Bayes table: keys [N, Ck, H, W] u8, P / Pb [N, H, W]
+    stored STAT_DTYPE.
 
-    def __init__(self, state, prefix, N):
-        self.keys = state[f"{prefix}_key"]
-        self.P = state[f"{prefix}_P"]
-        self.Pb = state[f"{prefix}_Pb"]
+    Stat arithmetic runs in f32 with STAT_DTYPE as the storage format
+    (one down-conversion per leaf per frame at the update store — strictly
+    tighter than per-op narrow rounding). ``in_kernel`` selects
+    Mosaic-lowerable formulations for the Pallas path (i32 key compares,
+    unrolled first-match/argmin — Mosaic has no u8/bf16 vector compares,
+    no cumsum, no lead-axis argmin, no i1 vector select); each has exactly
+    the XLA formulation's boolean/integer semantics, so the paths stay
+    bit-identical."""
+
+    def __init__(self, state, prefix, N, in_kernel=False):
+        self.in_kernel = in_kernel
+        self.stat_dtype = state[f"{prefix}_P"].dtype
+        self.keys_u8 = state[f"{prefix}_key"]
+        self.keys = self.keys_u8.astype(jnp.int32) if in_kernel else self.keys_u8
+        self.P = state[f"{prefix}_P"].astype(jnp.float32)
+        self.Pb = state[f"{prefix}_Pb"].astype(jnp.float32)
         self.N = N
-        self.idx = jnp.arange(N, dtype=jnp.int32)[:, None, None]
+        # broadcasted_iota, not arange+reshape (Mosaic: "unsupported
+        # shape cast" on 1D->3D reshape; identical value)
+        self.idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1, 1), 0)
 
     def match(self, key):
-        """key: [Ck, H, W]. Exact quantized match per entry → [N, H, W]."""
-        return jnp.all(self.keys == key[None], axis=1) & (self.P > 0.0)
+        """key: [Ck, H, W] u8. Exact quantized match per entry →
+        [N, H, W]. XLA: dense u8 compare + all(axis=1). Kernel: i32
+        channel loop (Mosaic has no u8 vector compares, and a 4D
+        lead-axis reduction hits "invalid relayout"); exact either way."""
+        if not self.in_kernel:
+            return jnp.all(self.keys == key[None], axis=1) & (self.P > 0.0)
+        k = key.astype(jnp.int32)
+        m = None
+        for c in range(self.keys.shape[1]):
+            eq = self.keys[:, c] == k[c][None]
+            m = eq if m is None else (m & eq)
+        return m & (self.P > 0.0)
 
     def classify(self, match, n1, T):
         """BG where the first matched entry is among the top-n1 by P and
         2·Pb > T·P (T folds the paper's prior threshold). The rank is
         computed for the matched entry only — one [N, H, W] compare-reduce,
         O(N) instead of the O(N²) of ranking every entry."""
-        has, first = _first_match(match)
+        has, first = _first_match(match, self.in_kernel)
         P_m = jnp.sum(jnp.where(first, self.P, 0.0), axis=0)
         Pb_m = jnp.sum(jnp.where(first, self.Pb, 0.0), axis=0)
         idx_m = jnp.sum(jnp.where(first, self.idx, 0), axis=0)
@@ -124,24 +164,81 @@ class _Table:
         """Decay all entries; reinforce the matched entry, or insert/replace
         the min-P entry (argmin keeps first-occurrence ties), only where
         `do`."""
-        has, first = _first_match(match)
-        min_idx = jnp.argmin(self.P, axis=0).astype(jnp.int32)
-        at = jnp.where(has[None], first, self.idx == min_idx[None]) & do[None]
-        lab = is_bg.astype(self.P.dtype)
+        has, first = _first_match(match, self.in_kernel)
+        # min-P entry with first-occurrence ties: jnp.argmin in XLA; a
+        # strict-< unroll in the kernel (identical tie semantics; Mosaic
+        # cannot lower argmin over the lead axis)
+        if not self.in_kernel:
+            min_idx = jnp.argmin(self.P, axis=0).astype(jnp.int32)
+        else:
+            min_idx = jnp.zeros_like(self.P[0], dtype=jnp.int32)
+            min_v = self.P[0]
+            for i in range(1, self.N):
+                better = self.P[i] < min_v
+                min_idx = jnp.where(better, i, min_idx)
+                min_v = jnp.minimum(min_v, self.P[i])
+        # and/or form, not where-on-bools (Mosaic has no i1 vector select)
+        at = (
+            (has[None] & first)
+            | (~has[None] & (self.idx == min_idx[None]))
+        ) & do[None]
+        lab = is_bg.astype(jnp.float32)
         p_dec = self.P * (1.0 - alpha)
         pb_dec = self.Pb * (1.0 - alpha)
         # replacement resets the entry; a match reinforces it
         p_new = jnp.where(has[None], p_dec + alpha, alpha)
         pb_new = jnp.where(has[None], pb_dec + alpha * lab, alpha * lab)
+        key_src = key.astype(jnp.int32) if self.in_kernel else key
         state[f"{prefix}_key"] = jnp.where(
-            (at & ~has[None])[:, None], key[None], self.keys
-        )
+            (at & ~has[None])[:, None], key_src[None], self.keys
+        ).astype(jnp.uint8)
         state[f"{prefix}_P"] = jnp.where(
             do[None], jnp.where(at, p_new, p_dec), self.P
-        )
+        ).astype(self.stat_dtype)
         state[f"{prefix}_Pb"] = jnp.where(
             do[None], jnp.where(at, pb_new, pb_dec), self.Pb
-        )
+        ).astype(self.stat_dtype)
+
+
+_TABLE_LEAVES = ("ct_key", "ct_P", "ct_Pb", "cc_key", "cc_P", "cc_Pb", "fg_age")
+
+
+def _tables_phase(cfg, st, ckey, cckey, changed, first, in_kernel=False):
+    """The whole Bayes-table phase on [H, W]-shaped maps (or tiles): match,
+    classify, label (incl. foreground absorption) and decay/reinforce both
+    tables. Shared VERBATIM by the XLA path and the fused Pallas kernel
+    (ops/pallas_fgd.py) — every op is pointwise over pixels (reductions run
+    along the entry axis only), so tiling is exact.
+
+    st: dict with the _TABLE_LEAVES arrays; ckey [C, ...] / cckey [2C, ...]
+    quantized keys; changed [...] bool; first: traced scalar bool (t == 0).
+    Returns (updates dict over _TABLE_LEAVES, is_bg, lab_bg)."""
+    ct = _Table(st, "ct", cfg.N2c, in_kernel)
+    cc = _Table(st, "cc", cfg.N2cc, in_kernel)
+    ct_m = ct.match(ckey)
+    cc_m = cc.match(cckey)
+    ct_has, ct_bg = ct.classify(ct_m, cfg.N1c, cfg.T)
+    cc_has, cc_bg = cc.classify(cc_m, cfg.N1cc, cfg.T)
+
+    # stationary pixels consult the color table, changed pixels the
+    # co-occurrence table; unmatched (novel) colors are foreground
+    # (and/or form, not where-on-bools — Mosaic has no i1 vector select)
+    is_bg = (changed & cc_has & cc_bg) | (~changed & ct_has & ct_bg)
+    is_bg = is_bg | first  # first frame: all background
+
+    # foreground absorption: a pixel continuously foreground for
+    # absorbFrames keeps being relabeled background for the updates
+    # until the statistics genuinely flip it (the counter only resets
+    # on a real background classification)
+    fg_age = jnp.where(is_bg, 0, st["fg_age"] + 1)
+    absorbed = fg_age >= cfg.absorbFrames
+    lab_bg = is_bg | absorbed
+
+    out = {k: st[k] for k in _TABLE_LEAVES}
+    out["fg_age"] = fg_age
+    ct.update(out, "ct", ct_m, ckey, ~changed | first, lab_bg, cfg.alpha2)
+    cc.update(out, "cc", cc_m, cckey, changed, lab_bg, cfg.alpha2)
+    return out, is_bg, lab_bg
 
 
 @register("FGD", aliases=("FG_0", "fgd"))
@@ -150,11 +247,17 @@ class FGD(BGSAlgorithm):
 
     Config = FGDConfig
 
-    # P/Pb statistics dtype: f16 halves the dominant HBM stream (the N2c+N2cc
-    # = 65 probability planes are decayed+rewritten every frame, ~590 MB r+w
-    # at 720p in f32). The model is a re-derivation with no bit-exact oracle
+    # P/Pb statistics dtype: f16 halves the dominant HBM stream (the
+    # N2c+N2cc = 65 P/Pb plane pairs are decayed+rewritten every frame;
+    # f16 vs f32 measured 3.81 vs 5.24 ms/frame table phase at 720p,
+    # round 5). The model is a re-derivation with no bit-exact oracle
     # (module docstring); the f16-vs-f32 mask agreement is pinned by
-    # tests/test_bgs_fgd.py. Set to jnp.float32 to restore exact f32 stats.
+    # tests/test_bgs_fgd.py (0.9989 / settled IoU 0.9968 on the full real
+    # clip). Round-5 dtype survey: bf16 REJECTED — its 8-bit mantissa
+    # stalls the alpha2 = 0.005 absorption dynamic (the co-occurrence
+    # absorption test fails); f32 exact but +1.4 ms. The opt-in Pallas
+    # table kernel requires f32 (Mosaic has no f16 at all). Set to
+    # jnp.float32 to restore exact stats.
     STAT_DTYPE = jnp.float16
 
     def init(self, h: int, w: int, c: int = 3) -> State:
@@ -199,29 +302,33 @@ class FGD(BGSAlgorithm):
             _quant(prev, cfg.Lcc) + _quant(planes, cfg.Lcc)
         )  # [2C, H, W]
 
-        ct = _Table(state, "ct", cfg.N2c)
-        cc = _Table(state, "cc", cfg.N2cc)
-        ct_m = ct.match(ckey)
-        cc_m = cc.match(cckey)
-        ct_has, ct_bg = ct.classify(ct_m, cfg.N1c, cfg.T)
-        cc_has, cc_bg = cc.classify(cc_m, cfg.N1cc, cfg.T)
+        # Optional fused Pallas table phase (ops/pallas_fgd.py). Measured
+        # A/B verdict: a REGRESSION on hardware (6.8 vs ~3.8 ms — Mosaic
+        # lacks u8 vector compares so key matching runs i32-widened at 1/4
+        # lane density; see the kernel module docstring), so the DEFAULT is
+        # the XLA formulation and TRACKING_TPU_FGD=pallas opts in;
+        # =interp forces the interpret-mode kernel (CPU parity tests).
+        first = t == 0
+        fgd_env = os.environ.get("TRACKING_TPU_FGD", "xla")
+        if fgd_env == "pallas" and self.STAT_DTYPE == jnp.float16:
+            raise RuntimeError(
+                "TRACKING_TPU_FGD=pallas requires f32 stats (Mosaic has "
+                "no f16): set FGD.STAT_DTYPE = jnp.float32"
+            )
+        if (
+            jax.default_backend() == "tpu" and fgd_env == "pallas"
+        ) or fgd_env == "interp":
+            from tracking_tpu.ops.pallas_fgd import fgd_tables_pallas
 
-        # stationary pixels consult the color table, changed pixels the
-        # co-occurrence table; unmatched (novel) colors are foreground
-        is_bg = jnp.where(changed, cc_has & cc_bg, ct_has & ct_bg)
-        is_bg = is_bg | (t == 0)  # first frame: all background
-
-        # foreground absorption: a pixel continuously foreground for
-        # absorbFrames keeps being relabeled background for the updates
-        # until the statistics genuinely flip it (the counter only resets
-        # on a real background classification)
-        fg_age = jnp.where(is_bg, 0, state["fg_age"] + 1)
-        absorbed = fg_age >= cfg.absorbFrames
-        lab_bg = is_bg | absorbed
-        st["fg_age"] = fg_age
-
-        ct.update(st, "ct", ct_m, ckey, ~changed | (t == 0), lab_bg, cfg.alpha2)
-        cc.update(st, "cc", cc_m, cckey, changed, lab_bg, cfg.alpha2)
+            updates, is_bg, lab_bg = fgd_tables_pallas(
+                _tables_phase, cfg, state, ckey, cckey, changed, first,
+                interpret=fgd_env == "interp",
+            )
+        else:
+            updates, is_bg, lab_bg = _tables_phase(
+                cfg, state, ckey, cckey, changed, first
+            )
+        st.update(updates)
 
         raw = jnp.where(is_bg, jnp.uint8(0), jnp.uint8(255))
         fg = raw

@@ -52,6 +52,16 @@ decision differences) and 42 % in blob interiors as ~300-1100 px chunks
 (accumulated codebook-state divergence from the capacity / per-ROI-Canny
 deviations surfacing where detection is densest), not whole-box ghost
 flips. Symmetric: 51 % ours-high / 49 % ref-high.
+
+Round 5 measured the per-ROI-Canny term directly
+(tools/multicue_canny_residue.py → MULTICUE_CANNY.json): re-scoring every
+candidate box with the oracle's own per-ROI cv2 Canny + the verbatim
+exact Hausdorff on the repo's own fore/boxes flips the ghost verdict on
+2 of 114 boxes over 130 frames (frames 99-100), bounding the
+Canny-border term at ≤ 2.1 % of the golden residue — the capacity /
+chamfer / reduced-res terms above are the proven remainder, and per-ROI
+Canny emulation is not worth its cost (a 64-way per-box hysteresis
+sweep).
 """
 
 from __future__ import annotations
@@ -78,6 +88,11 @@ _DIRS = [(-2, 0), (-1, -2), (1, -2), (2, 0), (1, 2), (-1, 2)]
 NN = 6
 RADIUS = 2
 MAX_BOXES = 64
+
+# instrumentation hook for tools/multicue_canny_residue.py: set
+# _DEBUG_SINK[0] to a callable BEFORE tracing to receive the ghost-stage
+# inputs/decisions per frame (jax.debug.callback). None = no-op.
+_DEBUG_SINK = [None]
 
 
 def _hsv_xyz(bgr_u8: jnp.ndarray) -> jnp.ndarray:
@@ -589,6 +604,15 @@ class MultiCue(BGSAlgorithm):
                           jnp.where((nm > 0) & (ni == 0), nm > 10, False)),
             )
             ghost = ghost & valid
+            if _DEBUG_SINK[0] is not None:
+                # tools/multicue_canny_residue.py: dump the ghost-stage
+                # inputs/decisions so the per-ROI-Canny deviation can be
+                # measured against a cv2 oracle offline (trace-time gate;
+                # zero cost when unset)
+                jax.debug.callback(
+                    _DEBUG_SINK[0], small_bgr, fore, left, right, upper,
+                    bottom, valid, ghost, nm, ni, close,
+                )
             ghost_px = jnp.any(box_excl & ghost[:, None, None], axis=0)
             valid = valid & ~ghost
 

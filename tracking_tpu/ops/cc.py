@@ -354,35 +354,30 @@ def area_gate(
     n = H * W
     lab = label_components(mask, connectivity)
     if jax.default_backend() == "tpu":
-        # areas only — no second one-hot pass, no moment contractions: the
-        # candidate one-hot + its area einsum is everything the gate needs
-        # (top-max_blobs membership by pairwise rank, first-candidate ties)
+        # areas only — no moment contractions: the gate needs candidate
+        # areas (top-max_blobs membership by pairwise rank, first-candidate
+        # ties) and a per-pixel kept-root membership test. Round 5: the
+        # [H, W, 128] bf16 one-hot + two einsums was replaced by a
+        # [K, H, W] compare-reduce for the areas and a 128-iteration fused
+        # where-chain for the membership (reads lab once per pixel; no
+        # one-hot ever materializes) — measured 1.70 -> 1.34 ms on FGD's
+        # dense motion-window masks, bit-identical output.
         n_cand = 128
         roots_c = _root_candidates(lab, n_cand)
-        # bf16 one-hot with f32 MXU accumulation: exact (counts are integer
-        # sums of 0/1 accumulated in f32) at half the one-hot HBM traffic;
-        # a plain hwk->k reduce lowers to a slow VPU reduction (+0.6 ms)
-        ohc = (lab[:, :, None] == roots_c[None, None, :]).astype(jnp.bfloat16)
-        cnt_rk_c = jnp.einsum(
-            "hwk,w->hk",
-            ohc,
-            jnp.ones((W,), jnp.bfloat16),
-            preferred_element_type=jnp.float32,
+        area_c = jnp.sum(
+            (lab[None] == roots_c[:, None, None]).astype(jnp.int32),
+            axis=(1, 2),
         )
-        area_c = jnp.sum(cnt_rk_c, axis=0).astype(jnp.int32)
         ci = jnp.arange(n_cand)
         rank = jnp.sum(
             (area_c[None, :] > area_c[:, None])
             | ((area_c[None, :] == area_c[:, None]) & (ci[None, :] < ci[:, None])),
             axis=1,
         )
-        okf = ((area_c >= min_area) & (rank < max_blobs)).astype(jnp.bfloat16)
-        keep = (
-            jnp.einsum(
-                "hwk,k->hw", ohc, okf, preferred_element_type=jnp.float32
-            )
-            > 0
-        )
+        okf = (area_c >= min_area) & (rank < max_blobs)
+        keep = jnp.zeros(lab.shape, bool)
+        for k in range(n_cand):
+            keep = keep | ((lab == roots_c[k]) & okf[k])
     else:
         flat = lab.reshape(-1)
         idx = jnp.where(flat >= 0, flat, n)
