@@ -80,7 +80,12 @@ def main():
     out["cases"]["texture"] = {"agreement": agree, "gate": 0.995, "pass": agree > 0.995}
     print("texture", agree, flush=True)
 
-    # 3) round-5 fused kernels: hardware kernel vs XLA path, bit-exact
+    # 3) round-5 fused kernels: hardware kernel vs XLA path, bit-exact.
+    # The FGD kernel is the opt-in research path and requires f32 stats
+    # (Mosaic has no f16) — compare both paths at f32.
+    import tracking_tpu.bgs.fgd as FMOD
+
+    FMOD.FGD.STAT_DTYPE = jnp.float32
     for name, env in (("MultiLayerBGS", "TRACKING_TPU_MULTILAYER"),
                       ("FGD", "TRACKING_TPU_FGD")):
         frames = jnp.asarray(read_video(VIDEO, max_frames=24))
