@@ -59,28 +59,88 @@ def _nbr(a, dy, dx, fill):
     return jnp.where(ok, out, fill)
 
 
-def _dist_to(seed_d, res, inf):
-    """Exact residual shortest-path distance: d(v) = min(seed_d(v),
-    1 + min over residual out-edges res[i] (v→nbr_i) of d(nbr_i)).
+_BIG = jnp.int32(2**30)
 
-    ``res``: tuple of 4 [H, W] i32 residuals in _DIRS order. Iterated
-    4-neighbor relaxation to a fixed point (bounded by H·W rounds; real
-    grids converge in the max finite distance)."""
+
+def _shift_fill(a, k, axis, reverse, fill):
+    """a shifted k positions along the scan direction (element i reads
+    i−k in scan order), constant-filled at the entering edge."""
+    shift = k if not reverse else -k
+    out = jnp.roll(a, shift, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+    n = a.shape[axis]
+    ok = (idx >= k) if not reverse else (idx < n - k)
+    return jnp.where(ok, out, fill)
+
+
+def _seg_min_scan(vals, reset, axis, reverse):
+    """Segmented running min along ``axis``: out[i] = vals[i] where
+    reset[i], else min(carry, vals[i]).
+
+    Log-depth doubling over roll+iota-masked shifts — NOT
+    jax.lax.associative_scan, whose slice/concat lowering measured ~6×
+    slower end-to-end on the TPU at 720p (911 vs 151 ms/frame LbpMrf).
+    Invariant: f_k[i] = min vals[j] for j in [max(seg_start_i, i−2^k+1), i],
+    b_k[i] = ∃ reset in (i−2^k, i]."""
+    f = vals
+    b = reset
+    k = 1
+    n = vals.shape[axis]
+    while k < n:
+        fs = _shift_fill(f, k, axis, reverse, _BIG)
+        bs = _shift_fill(b, k, axis, reverse, True)
+        f = jnp.where(b, f, jnp.minimum(f, fs))
+        b = b | bs
+        k *= 2
+    return f
+
+
+def _line_pass(d, open_step, axis, reverse, inf):
+    """One whole-line relaxation: f[i] = min(d[i], f[prev] + 1) along the
+    scan direction, with the +1 chain broken wherever ``open_step`` is
+    False (the step edge into i is missing). The linear-shift trick
+    (g = d ∓ index) turns the +1-per-step min-plus recurrence into a plain
+    segmented min-scan — log depth instead of one while-loop round per
+    distance level."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, d.shape, axis)
+    sgn = -1 if reverse else 1
+    g = d - sgn * idx
+    out = _seg_min_scan(g, ~open_step, axis, reverse)
+    return jnp.minimum(d, jnp.minimum(out + sgn * idx, inf))
+
+
+def _dist_via(seed_d, opens, inf):
+    """Exact shortest-path distance d(v) = min(seed_d(v), 1 + min over
+    open step edges into v of d(prev)) by alternating 4-direction
+    whole-line sweeps (each a log-depth segmented scan) to a fixed point.
+    ``opens``: (from-up, from-down, from-left, from-right) step masks in
+    _DIRS order. Converges in O(path spiral depth) sweeps — the per-level
+    4-neighbor relaxation this replaces cost one while-loop round per
+    distance LEVEL, which at 720p (diameter ~1300) made the global
+    relabel the whole cost of the LbpMrf min-cut on sparse-sink frames
+    (round 5: 270 → ~4 ms/frame)."""
 
     def body(state):
         d, _ = state
-        nd = d
-        for i, (dy, dx) in enumerate(_DIRS):
-            cand = 1 + _nbr(d, dy, dx, inf)
-            nd = jnp.minimum(nd, jnp.where(res[i] > 0, cand, inf))
-        nd = jnp.minimum(nd, inf)
+        nd = _line_pass(d, opens[2], 1, False, inf)
+        nd = _line_pass(nd, opens[3], 1, True, inf)
+        nd = _line_pass(nd, opens[0], 0, False, inf)
+        nd = _line_pass(nd, opens[1], 0, True, inf)
         return nd, jnp.any(nd != d)
 
     def cond(state):
         return state[1]
 
     d, _ = jax.lax.while_loop(cond, body, (seed_d, jnp.bool_(True)))
-    return d
+    return jnp.minimum(d, inf)
+
+
+def _dist_to(seed_d, res, inf):
+    """Exact residual distance toward a terminal: d(v) improves through
+    v's OUTGOING residual edges (d(v) = d(nbr_i) + 1 where res[i](v) > 0,
+    _DIRS order)."""
+    opens = tuple(r > 0 for r in res)
+    return _dist_via(seed_d, opens, inf)
 
 
 def _push_phase(e, h, rterm, res, n, target_h1):
@@ -207,37 +267,54 @@ def grid_mincut_sink_mask(tr_cap, e_up, e_left):
         _nbr(e_left, 0, 1, 0),
     )
 
-    # saturating preflow from s
-    e = rs0
-    back_s = rs0  # v→s refund residual (= flow pushed out of s so far)
+    # Orientation matters enormously for the lock-step solver: excess
+    # should live on the SMALLER terminal side so it drains a step or two
+    # into the abundant opposite terminal, instead of routing the large
+    # side's units toward sparse sinks over long distances (round-5 LbpMrf
+    # at 720p measured ~130-900 ms/frame with the fixed orientation; the
+    # all-FG warm-up frames are the mirrored pathology). Both orientations
+    # compute the same max flow, and the canonical source-reachable cut is
+    # flow-independent, so the result is identical
+    # (tests/test_mincut.py re-validates vs scipy) — pick per instance by
+    # total terminal capacity. The reversed graph G' (source = G's t;
+    # symmetric unit grid edges, so res_G(u→v) = res_G'(v→u)) reuses the
+    # same drain machinery with the terminal roles swapped.
+    seed1 = lambda rterm: jnp.where(rterm > 0, 1, n)
 
-    # phase 1: drain to t (distance-to-t seeds: h=1 where rt>0)
-    seed_t = lambda rterm: jnp.where(rterm > 0, 1, n)
-    e, rt, res = _drain(e, rt, res, seed_t, n, max_outer=4 * H * W)
+    def run(e0, rterm1, back0):
+        e, r1_rem, res2 = _drain(
+            e0, rterm1, res, seed1, n, max_outer=4 * H * W
+        )
+        e, r2_rem, res2 = _drain(e, back0, res2, seed1, n, max_outer=4 * H * W)
+        return r1_rem, r2_rem, res2
 
-    # phase 2: return trapped excess to s (always routable)
-    seed_s = lambda rterm: jnp.where(rterm > 0, 1, n)
-    e, back_s, res = _drain(e, back_s, res, seed_s, n, max_outer=4 * H * W)
-    # back_s now holds the FINAL forward flow f(s→v); the s→v residual is
-    # the refunded remainder
-    rs = rs0 - back_s
+    def fwd(_):
+        # excess from s (BG side): drain to t, refund to s. back_after =
+        # the final forward flow f(s→v); residual s-edge = rs0 − it.
+        # G's residual u→v sits at u (direction toward v) → reachability
+        # reads the NEIGHBOR's edge.
+        _, back_after, res2 = run(rs0, rt, rs0)
+        rs = rs0 - back_after
+        opens = tuple(
+            _nbr(res2[i ^ 1], dy, dx, 0) > 0
+            for i, (dy, dx) in enumerate(_DIRS)
+        )
+        return rs, opens
 
-    # canonical cut: S = reachable from s in the residual (maxflow.cpp:510)
-    def bfs_cond(state):
-        s, _ = state
-        return state[1]
+    def rev(_):
+        # excess from G's t (FG side) on G': drain to G's s, refund to t.
+        # G's s-residual = undrained rs_rem; G's edge u→v read at v is
+        # res_G'(v→u) = v's OWN direction-i residual.
+        rs_rem, _, res2 = run(rt, rs0, rt)
+        return rs_rem, tuple(r > 0 for r in res2)
 
-    def bfs_body(state):
-        s, _ = state
-        ns = s
-        for i, (dy, dx) in enumerate(_DIRS):
-            # I become reachable if my neighbor in direction i is reachable
-            # and ITS residual edge pointing at me (direction opposite of
-            # i, indexed j at the neighbor) is > 0
-            j = i ^ 1
-            ns = ns | (_nbr(s, dy, dx, False) & (_nbr(res[j], dy, dx, 0) > 0))
-        return ns, jnp.any(ns != s)
+    rs_fin, opens_in = jax.lax.cond(
+        jnp.sum(rt) <= jnp.sum(rs0), rev, fwd, operand=None
+    )
 
-    s_reach = rs > 0
-    s_reach, _ = jax.lax.while_loop(bfs_cond, bfs_body, (s_reach, jnp.bool_(True)))
+    # canonical cut: S = reachable from G's s in G's residual
+    # (maxflow.cpp:510) — line-sweep reachability (reach ⇔ finite
+    # distance).
+    seed = jnp.where(rs_fin > 0, 0, n)
+    s_reach = _dist_via(seed, opens_in, n) < n
     return ~s_reach
